@@ -1,0 +1,34 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real-TPU behavior is exercised by bench.py and the driver's graft entry;
+the test suite validates numerics and sharding on host CPU devices
+(fast, deterministic, no tunnel needed).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import pathlib
+
+import pytest
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir() -> pathlib.Path:
+    return FIXTURES
+
+
+def fixture_streams(prefix: str = ""):
+    """(name, ivf_path, md5_path) for every checked-in fixture stream."""
+    out = []
+    for ivf in sorted(FIXTURES.glob(f"{prefix}*.ivf")):
+        md5 = ivf.with_suffix(".md5")
+        out.append((ivf.stem, ivf, md5))
+    return out

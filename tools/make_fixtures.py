@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Generate VP9 test fixtures (IVF streams + golden per-frame MD5s).
+
+Builds tools/oracle/oracle.c against the system libavcodec, synthesizes raw
+video designed to exercise a wide range of VP9 coding tools (smooth gradients
+for directional intra, translating texture for sub-pel inter MC, static areas
+for skip, noise for dense coefficients), encodes it with libvpx-vp9 under
+several configurations, and produces golden MD5 ground truth with the
+normative native VP9 decoder.  Both the `vp9` and `libvpx-vp9` decoders are
+run and must agree, guarding against oracle bugs.
+
+The resulting small .ivf/.md5 pairs are checked into tests/fixtures/ so the
+test suite is hermetic.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE_SRC = os.path.join(ROOT, "tools", "oracle", "oracle.c")
+ORACLE_BIN = os.path.join(ROOT, "tools", "oracle", "oracle")
+FIXDIR = os.path.join(ROOT, "tests", "fixtures")
+
+
+def build_oracle():
+    if (os.path.exists(ORACLE_BIN)
+            and os.path.getmtime(ORACLE_BIN) > os.path.getmtime(ORACLE_SRC)):
+        return
+    subprocess.check_call(
+        ["gcc", "-O2", "-o", ORACLE_BIN, ORACLE_SRC, "-lavcodec", "-lavutil"])
+
+
+def synth_video(w: int, h: int, n: int, bitdepth: int = 8, seed: int = 7) -> bytes:
+    """Synthetic I420 content with gradients, motion, edges, noise, static areas."""
+    rng = np.random.default_rng(seed)
+    maxval = (1 << bitdepth) - 1
+    dt = np.uint16 if bitdepth > 8 else np.uint8
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # a fixed noise texture that translates over time (sub-pel-friendly content)
+    tex = rng.normal(0, 1, (h * 2, w * 2)).astype(np.float32)
+    # smooth big blobs
+    out = bytearray()
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    cyy, cxx = np.mgrid[0:ch, 0:cw].astype(np.float32)
+    for t in range(n):
+        # moving diagonal gradient + moving sinusoid + translating texture window
+        g = 0.35 * (xx + 1.7 * yy) / (w + h) + 0.2 * np.sin(
+            (xx * 0.05 + t * 0.37)) * np.cos(yy * 0.043 - t * 0.21)
+        dx = (t * 2.5) % w
+        dy = (t * 1.25) % h
+        ix = (np.arange(w) + int(dx)) % (2 * w - w)
+        iy = (np.arange(h) + int(dy)) % (2 * h - h)
+        window = tex[np.ix_(iy, ix)]
+        y = 0.55 + 0.3 * g + 0.05 * window
+        # sharp moving square (forces intra refresh / edges)
+        sx = int((t * 7) % max(1, w - 24))
+        sy = int((t * 5) % max(1, h - 24))
+        y[sy:sy + 24, sx:sx + 24] = 0.15 + 0.02 * window[:24, :24]
+        # static high-detail corner (skip blocks once coded)
+        y[: h // 4, : w // 4] = 0.5 + 0.12 * tex[: h // 4, : w // 4]
+        yq = np.clip(y * maxval, 0, maxval).astype(dt)
+        u = 0.5 + 0.2 * np.sin(cxx * 0.07 + t * 0.11)
+        v = 0.5 + 0.2 * np.cos(cyy * 0.09 - t * 0.07)
+        uq = np.clip(u * maxval, 0, maxval).astype(dt)
+        vq = np.clip(v * maxval, 0, maxval).astype(dt)
+        for p in (yq, uq, vq):
+            out += (p.astype("<u2") if bitdepth > 8 else p).tobytes()
+    return bytes(out)
+
+
+def run(args):
+    subprocess.check_call(args)
+
+
+def gen(name: str, w: int, h: int, n: int, enc_opts: list[str],
+        bitdepth: int = 8, seed: int = 7):
+    os.makedirs(FIXDIR, exist_ok=True)
+    yuv = os.path.join("/tmp", f"fix_{name}.yuv")
+    with open(yuv, "wb") as f:
+        f.write(synth_video(w, h, n, bitdepth=bitdepth, seed=seed))
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    md5b = os.path.join("/tmp", f"fix_{name}.libvpx.md5")
+    run([ORACLE_BIN, "encode", str(w), str(h), yuv, ivf] + enc_opts)
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    run([ORACLE_BIN, "decode", ivf, md5b, "codec=libvpx-vp9"])
+    a = open(md5).read()
+    b = open(md5b).read()
+    assert a == b, f"oracle decoders disagree on {name}!"
+    print(f"  {name}: {len(open(ivf,'rb').read())} bytes, {a.count(chr(10))} frames")
+    os.unlink(yuv)
+
+
+def main():
+    build_oracle()
+    # --- profile 0, 8-bit ---
+    gen("kf01_64x64", 64, 64, 3, ["gop=1", "crf=30", "cpu_used=2"])
+    gen("kf02_176x144", 176, 144, 5, ["gop=1", "crf=24", "cpu_used=1"])
+    gen("kf03_odd_98x66", 98, 66, 3, ["gop=1", "crf=28", "cpu_used=2"])
+    gen("in01_176x144", 176, 144, 20, ["gop=10", "crf=30", "cpu_used=1"])
+    gen("in02_352x288", 352, 288, 20, ["gop=9999", "crf=34", "cpu_used=2"])
+    gen("in03_odd_210x122", 210, 122, 12, ["gop=8", "crf=30", "cpu_used=2"])
+    gen("tl01_640x360_t2", 640, 360, 10, ["gop=9999", "crf=36", "cpu_used=3",
+                                          "tile_cols=1"])
+    gen("ll01_176x144_lossless", 176, 144, 6, ["gop=4", "lossless=1", "crf=0",
+                                               "cpu_used=2"])
+    gen("br01_352x288_lowq", 352, 288, 15, ["gop=9999", "crf=50", "cpu_used=4"])
+    gen("hq01_176x144_hiq", 176, 144, 10, ["gop=9999", "crf=10", "cpu_used=0"])
+    # --- profile 2, 10-bit ---
+    gen("p2_01_176x144_10b", 176, 144, 8, ["gop=4", "crf=30", "cpu_used=2",
+                                           "bitdepth=10", "profile=2"],
+        bitdepth=10)
+    print("fixtures written to", FIXDIR)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
