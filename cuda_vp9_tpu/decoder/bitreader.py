@@ -57,7 +57,7 @@ class BoolDecoder:
             self._fill()
             bits = self.bits
         r = self.range
-        split = 1 + (((r - 1) * prob) >> 8)
+        split = 1 + (((r - 1) * int(prob)) >> 8)
         bigsplit = split << bits
         if self.value >= bigsplit:
             bit = 1
