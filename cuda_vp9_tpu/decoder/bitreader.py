@@ -17,7 +17,8 @@ from __future__ import annotations
 class BoolDecoder:
     """The VP9 boolean (range) decoder over a byte buffer."""
 
-    __slots__ = ("data", "pos", "end", "value", "range", "bits", "_virtual")
+    __slots__ = ("data", "pos", "end", "value", "range", "bits", "_virtual",
+                 "marker_bad")
 
     def __init__(self, data, start: int = 0, size: int | None = None):
         self.data = data
@@ -28,6 +29,9 @@ class BoolDecoder:
         self.bits = -8  # forces initial fill of at least one byte
         self._virtual = 0  # zero bytes synthesized past the end (overrun)
         self._fill()
+        # vpx_reader_init consumes a marker bit that must decode to zero
+        # (vpx_dsp/bitreader.c:38 `return vpx_read_bit(r) != 0`)
+        self.marker_bad = self.read_bit() != 0
 
     def _fill(self):
         # Load up to 7 bytes at a time into the low bits of the window.
@@ -85,7 +89,7 @@ class BoolDecoder:
         """Walk a vpx token tree: negative/leaf values end the walk."""
         i = 0
         while True:
-            i = tree[i + self.read(probs[i >> 1])]
+            i = int(tree[i + self.read(probs[i >> 1])])
             if i <= 0:
                 return -i
 

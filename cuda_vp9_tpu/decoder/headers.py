@@ -258,15 +258,25 @@ def _setup_tile_info(rb: BitReader, hdr: FrameHeader):
         hdr.log2_tile_rows += rb.read_bit()
 
 
-def parse_uncompressed_header(data: bytes, ref_sizes=None) -> FrameHeader:
+def parse_uncompressed_header(data: bytes, ref_sizes=None,
+                              dec_ctx=None) -> FrameHeader:
     """Parse the frame's uncompressed header.
 
     `ref_sizes` is a callable idx -> (width, height) over the decoder's
     8-slot reference pool (for size-from-refs resolution); may be None when
     only peeking stream info.
+
+    `dec_ctx`, when given, supplies decoder-persistent state: `.lf` and
+    `.seg` (loop-filter deltas and segmentation features persist across
+    frames, vp9/common/vp9_entropymode.c:425) and an
+    `.on_past_independence(hdr)` hook invoked at the normative point
+    (vp9_decodeframe.c:3293) for intra-only / error-resilient frames.
     """
     rb = BitReader(data)
     hdr = FrameHeader()
+    if dec_ctx is not None:
+        hdr.lf = dec_ctx.lf
+        hdr.seg = dec_ctx.seg
     if rb.f(2) != C.VP9_FRAME_MARKER:
         raise BitstreamError("bad frame marker")
     hdr.profile = rb.read_bit() | (rb.read_bit() << 1)
@@ -339,6 +349,11 @@ def parse_uncompressed_header(data: bytes, ref_sizes=None) -> FrameHeader:
 
     hdr.frame_context_idx = rb.f(C.FRAME_CONTEXTS_LOG2)
     hdr.compute_geometry()
+
+    if (hdr.frame_is_intra_only or hdr.error_resilient_mode) \
+            and dec_ctx is not None:
+        dec_ctx.on_past_independence(hdr)
+        hdr.frame_context_idx = 0
 
     _setup_loopfilter(rb, hdr.lf)
     _setup_quantization(rb, hdr)
