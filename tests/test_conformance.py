@@ -1,0 +1,38 @@
+"""Bitstream conformance: per-frame MD5 against the normative decoder.
+
+The analog of the reference's test_vector_test.cc MD5Match
+(libvpx/test/test_vector_test.cc:112) over the checked-in fixture corpus.
+"""
+
+import os
+
+import pytest
+
+from cuda_vp9_tpu.decoder.frame import decode_stream_md5
+
+from conftest import fixture_streams
+
+FAST_FRAMES = int(os.environ.get("CONFORMANCE_FRAMES", "4"))
+
+
+@pytest.mark.parametrize("name,ivf,md5", fixture_streams(),
+                         ids=[s[0] for s in fixture_streams()])
+def test_md5_match_fast(name, ivf, md5):
+    golden = [line.split()[0] for line in md5.read_text().splitlines()]
+    n = 0
+    for i, digest in decode_stream_md5(str(ivf), max_frames=FAST_FRAMES):
+        assert digest == golden[i], f"{name} frame {i} MD5 mismatch"
+        n += 1
+    assert n > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,ivf,md5", fixture_streams(),
+                         ids=[s[0] for s in fixture_streams()])
+def test_md5_match_full(name, ivf, md5):
+    golden = [line.split()[0] for line in md5.read_text().splitlines()]
+    n = 0
+    for i, digest in decode_stream_md5(str(ivf)):
+        assert digest == golden[i], f"{name} frame {i} MD5 mismatch"
+        n += 1
+    assert n == len(golden)
