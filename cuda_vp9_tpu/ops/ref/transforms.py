@@ -45,17 +45,17 @@ def _rs(x):
     return (x + 8192) >> 14
 
 
-def idct4(inp, wrap, cast_in):
+def idct4(inp, wrap, cast_in, xp=np):
     i0, i1, i2, i3 = (cast_in(inp[:, k]) for k in range(4))
     s0 = wrap(_rs((i0 + i2) * _c(16)))
     s1 = wrap(_rs((i0 - i2) * _c(16)))
     s2 = wrap(_rs(i1 * _c(24) - i3 * _c(8)))
     s3 = wrap(_rs(i1 * _c(8) + i3 * _c(24)))
-    return np.stack([wrap(s0 + s3), wrap(s1 + s2),
+    return xp.stack([wrap(s0 + s3), wrap(s1 + s2),
                      wrap(s1 - s2), wrap(s0 - s3)], axis=1)
 
 
-def iadst4(inp, wrap, cast_in):
+def iadst4(inp, wrap, cast_in, xp=np):
     x0, x1, x2, x3 = (inp[:, k] for k in range(4))
     s0 = SINPI[1] * x0
     s1 = SINPI[2] * x0
@@ -69,11 +69,11 @@ def iadst4(inp, wrap, cast_in):
     s1 = s1 - s4 - s6
     s3b = s2
     s2b = SINPI[3] * s7
-    return np.stack([wrap(_rs(s0 + s3b)), wrap(_rs(s1 + s3b)),
+    return xp.stack([wrap(_rs(s0 + s3b)), wrap(_rs(s1 + s3b)),
                      wrap(_rs(s2b)), wrap(_rs(s0 + s1 - s3b))], axis=1)
 
 
-def idct8(inp, wrap, cast_in):
+def idct8(inp, wrap, cast_in, xp=np):
     i = [cast_in(inp[:, k]) for k in range(8)]
     # stage 1
     s1_0, s1_2, s1_1, s1_3 = i[0], i[4], i[2], i[6]
@@ -99,12 +99,12 @@ def idct8(inp, wrap, cast_in):
     t5 = wrap(_rs((s2_6 - s2_5) * _c(16)))
     t6 = wrap(_rs((s2_5 + s2_6) * _c(16)))
     t7 = s2_7
-    return np.stack([wrap(t0 + t7), wrap(t1 + t6), wrap(t2 + t5),
+    return xp.stack([wrap(t0 + t7), wrap(t1 + t6), wrap(t2 + t5),
                      wrap(t3 + t4), wrap(t3 - t4), wrap(t2 - t5),
                      wrap(t1 - t6), wrap(t0 - t7)], axis=1)
 
 
-def iadst8(inp, wrap, cast_in):
+def iadst8(inp, wrap, cast_in, xp=np):
     x = [inp[:, 7], inp[:, 0], inp[:, 5], inp[:, 2],
          inp[:, 3], inp[:, 4], inp[:, 1], inp[:, 6]]
     # stage 1
@@ -147,11 +147,11 @@ def iadst8(inp, wrap, cast_in):
     x3 = wrap(_rs(s3))
     x6 = wrap(_rs(s6))
     x7 = wrap(_rs(s7))
-    return np.stack([wrap(x0), wrap(-x4), wrap(x6), wrap(-x2),
+    return xp.stack([wrap(x0), wrap(-x4), wrap(x6), wrap(-x2),
                      wrap(x3), wrap(-x7), wrap(x5), wrap(-x1)], axis=1)
 
 
-def idct16(inp, wrap, cast_in):
+def idct16(inp, wrap, cast_in, xp=np):
     order = [0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15]
     s1 = [cast_in(inp[:, k]) for k in order]
     s2 = [None] * 16
@@ -237,10 +237,10 @@ def idct16(inp, wrap, cast_in):
     # stage 7
     out = [wrap(w[k] + w[15 - k]) for k in range(8)] + \
           [wrap(w[15 - k] - w[k]) for k in range(8, 16)]
-    return np.stack(out, axis=1)
+    return xp.stack(out, axis=1)
 
 
-def iadst16(inp, wrap, cast_in):
+def iadst16(inp, wrap, cast_in, xp=np):
     order = [15, 0, 13, 2, 11, 4, 9, 6, 7, 8, 5, 10, 3, 12, 1, 14]
     x = [inp[:, k] for k in order]
     # stage 1
@@ -316,10 +316,10 @@ def iadst16(inp, wrap, cast_in):
     x[15] = wrap(_rs(s[15]))
     out = [x[0], -x[8], x[12], -x[4], x[6], x[14], x[10], x[2],
            x[3], x[11], x[15], x[7], x[5], -x[13], x[9], -x[1]]
-    return np.stack([wrap(o) for o in out], axis=1)
+    return xp.stack([wrap(o) for o in out], axis=1)
 
 
-def idct32(inp, wrap, cast_in):
+def idct32(inp, wrap, cast_in, xp=np):
     order = [0, 16, 8, 24, 4, 20, 12, 28, 2, 18, 10, 26, 6, 22, 14, 30]
     s1 = [None] * 32
     for k in range(16):
@@ -509,7 +509,7 @@ def idct32(inp, wrap, cast_in):
     # final stage
     out = [wrap(p[k] + p[31 - k]) for k in range(16)] + \
           [wrap(p[31 - k] - p[k]) for k in range(16, 32)]
-    return np.stack(out, axis=1)
+    return xp.stack(out, axis=1)
 
 
 _1D = {
@@ -522,14 +522,20 @@ _SHIFT = [4, 5, 6, 6]
 
 
 def inv_txfm2d(coeffs: np.ndarray, tx_size: int, tx_type: int,
-               bd: int) -> np.ndarray:
+               bd: int, xp=np, work_dtype=None) -> np.ndarray:
     """Batched 2-D inverse transform.  coeffs [N, n*n] row-major (post-scan).
 
-    Returns residual [N, n, n] int64 (after the final round shift), i.e. the
+    Returns residual [N, n, n] (after the final round shift), i.e. the
     value passed to clip_pixel_add in the reference.
+
+    `xp` selects the array backend (numpy for the oracle, jax.numpy for the
+    TPU path).  For bd=8 the working dtype may be int32: the int16 WRAPLOW
+    points bound every product to < 2^30.
     """
     n = 4 << tx_size
     N = coeffs.shape[0]
+    if work_dtype is None:
+        work_dtype = np.int64
     wrap = make_wrap(bd)
     if bd == 8:
         def cast_in(x):
@@ -551,23 +557,26 @@ def inv_txfm2d(coeffs: np.ndarray, tx_size: int, tx_type: int,
     row_fn = _1D[(tx_size, 1 if row_is_adst else 0)]
     col_fn = _1D[(tx_size, 1 if col_is_adst else 0)]
 
-    x = coeffs.astype(np.int64).reshape(N, n, n)
+    x = coeffs.astype(work_dtype).reshape(N, n, n)
     # row pass: each of the N*n rows
     rows = x.reshape(N * n, n)
-    rows = row_fn(rows, wrap, no_cast if row_is_adst else cast_in)
+    rows = row_fn(rows, wrap, no_cast if row_is_adst else cast_in, xp)
     inter = rows.reshape(N, n, n)
     # column pass
     cols = inter.transpose(0, 2, 1).reshape(N * n, n)
-    cols = col_fn(cols, wrap, no_cast if col_is_adst else cast_in)
+    cols = col_fn(cols, wrap, no_cast if col_is_adst else cast_in, xp)
     out = cols.reshape(N, n, n).transpose(0, 2, 1)
     shift = _SHIFT[tx_size]
     return (out + (1 << (shift - 1))) >> shift
 
 
-def inv_wht2d(coeffs: np.ndarray, bd: int) -> np.ndarray:
+def inv_wht2d(coeffs: np.ndarray, bd: int, xp=np,
+              work_dtype=None) -> np.ndarray:
     """Batched 4x4 inverse Walsh-Hadamard (lossless).  coeffs [N,16]."""
     wrap = make_wrap(bd)
-    x = coeffs.astype(np.int64).reshape(-1, 4, 4)
+    if work_dtype is None:
+        work_dtype = np.int64
+    x = coeffs.astype(work_dtype).reshape(-1, 4, 4)
 
     def wht1d(v):  # v: [..., 4] along last axis
         a1 = v[..., 0]
@@ -581,7 +590,7 @@ def inv_wht2d(coeffs: np.ndarray, bd: int) -> np.ndarray:
         c1 = e1 - c1
         a1 = a1 - b1
         d1 = d1 + c1
-        return np.stack([wrap(a1), wrap(b1), wrap(c1), wrap(d1)], axis=-1)
+        return xp.stack([wrap(a1), wrap(b1), wrap(c1), wrap(d1)], axis=-1)
 
     rows = wht1d(x >> 2)
     cols = wht1d(rows.transpose(0, 2, 1)).transpose(0, 2, 1)
