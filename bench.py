@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Decode throughput benchmark (driver entry point).
+
+Decodes a VP9 stream end-to-end (host entropy decode + device
+reconstruction) on the default JAX device and prints one JSON line:
+
+  {"metric": "decode_fps_WxH", "value": N, "unit": "frames/sec",
+   "vs_baseline": r}
+
+vs_baseline normalizes against the BASELINE.md north star of 2x realtime
+4K60 per chip (120 fps at 3840x2176), scaled by pixel rate to the
+benchmarked resolution.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DIR = os.path.join(REPO, ".bench")
+NORTH_STAR_PIXRATE = 120.0 * 3840 * 2176  # pixels/sec
+
+
+def _gen_stream(w, h, frames):
+    """Generate a cached benchmark stream with the oracle tool if possible."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    ivf = os.path.join(BENCH_DIR, f"bench_{w}x{h}.ivf")
+    if os.path.exists(ivf):
+        return ivf
+    try:
+        import subprocess
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        import make_fixtures
+        make_fixtures.build_oracle()
+        yuv = os.path.join(BENCH_DIR, "bench.yuv")
+        with open(yuv, "wb") as f:
+            f.write(make_fixtures.synth_video(w, h, frames))
+        subprocess.check_call(
+            [make_fixtures.ORACLE_BIN, "encode", str(w), str(h), yuv, ivf,
+             "gop=9999", "crf=34", "cpu_used=2"])
+        os.unlink(yuv)
+        return ivf
+    except Exception:
+        return None
+
+
+def main():
+    size = os.environ.get("BENCH_SIZE", "640x360")
+    bw, bh = (int(v) for v in size.split("x"))
+    stream = _gen_stream(bw, bh, int(os.environ.get("BENCH_FRAMES", "20")))
+    if stream is None:
+        stream = os.path.join(REPO, "tests", "fixtures", "tl01_640x360_t2.ivf")
+
+    from cuda_vp9_tpu.containers import IvfReader
+    from cuda_vp9_tpu.decoder.frame import Vp9Decoder
+    from cuda_vp9_tpu.runtime.pipeline import TpuRecon
+
+    with IvfReader(stream) as r:
+        w, h = r.width, r.height
+        packets = [d for d, _ in r]
+
+    def decode_all():
+        recon = TpuRecon()
+        dec = Vp9Decoder(recon_fn=recon)
+        n = 0
+        for p in packets:
+            dec.decode(p)
+            n += len(list(dec.frames()))
+        return n
+
+    decode_all()                 # warmup: jit compiles
+    t0 = time.time()
+    n = decode_all()
+    dt = time.time() - t0
+    fps = n / dt
+    target = NORTH_STAR_PIXRATE / (w * h)
+    print(json.dumps({
+        "metric": f"decode_fps_{w}x{h}",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / target, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

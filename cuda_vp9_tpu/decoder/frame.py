@@ -236,3 +236,73 @@ def decode_stream_md5(ivf_path: str, max_frames: int = 10 ** 9):
                 n += 1
                 if n >= max_frames:
                     return
+
+
+class NativeVp9Decoder:
+    """Vp9Decoder variant with the C++ host entropy decoder (native/)."""
+
+    def __init__(self, recon_fn=None):
+        from ..native import NativeParser, ShowExisting
+        self._ShowExisting = ShowExisting
+        self._parser = NativeParser()
+        self.ref_slots = [None] * C.REF_FRAMES
+        self._outputs = []
+        self._recon_fn = recon_fn or (
+            lambda plan, refs: ref_recon.reconstruct_frame(plan, refs))
+
+    def decode(self, data: bytes):
+        for off, sz in parse_superframe_index(data):
+            self._decode_one(data[off:off + sz])
+
+    def get_frame(self):
+        if self._outputs:
+            return self._outputs.pop(0)
+        return None
+
+    def frames(self):
+        while self._outputs:
+            yield self._outputs.pop(0)
+
+    def _decode_one(self, payload: bytes):
+        plan = self._parser.parse(payload)
+        if isinstance(plan, self._ShowExisting):
+            rb = self.ref_slots[plan.frame_to_show]
+            if rb is None:
+                raise BitstreamError("show_existing of empty slot")
+            self._outputs.append(DecodedFrame(
+                rb.planes, rb.width, rb.height, rb.bit_depth,
+                rb.ss_x, rb.ss_y))
+            return
+        hdr = plan.hdr
+        refs = {}
+        if not hdr.frame_is_intra_only:
+            for i in range(C.REFS_PER_FRAME):
+                refs[C.LAST_FRAME + i] = self.ref_slots[hdr.ref_frame_idx[i]]
+        planes = self._recon_fn(plan, refs)
+        new_ref = ref_recon.RefBuffer(planes, hdr.width, hdr.height,
+                                      hdr.bit_depth, hdr.subsampling_x,
+                                      hdr.subsampling_y)
+        for i in range(C.REF_FRAMES):
+            if hdr.refresh_frame_flags & (1 << i):
+                self.ref_slots[i] = new_ref
+        if hdr.show_frame:
+            self._outputs.append(DecodedFrame(
+                planes, hdr.width, hdr.height, hdr.bit_depth,
+                hdr.subsampling_x, hdr.subsampling_y))
+
+
+def native_decode_stream_md5(ivf_path: str, max_frames: int = 10 ** 9,
+                             recon_fn=None):
+    """decode_stream_md5 with the native host parser."""
+    from ..containers import IvfReader
+    from ..utils.md5 import frame_md5
+    dec = NativeVp9Decoder(recon_fn=recon_fn)
+    n = 0
+    with IvfReader(ivf_path) as r:
+        for data, _pts in r:
+            dec.decode(data)
+            for frame in dec.frames():
+                yield n, frame_md5(frame.visible_planes())
+                n += 1
+                if n >= max_frames:
+                    return

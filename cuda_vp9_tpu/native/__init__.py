@@ -1,0 +1,212 @@
+"""ctypes binding for the native host entropy decoder (libvp9host.so).
+
+`NativeParser.parse(payload)` returns the same FramePlan the Python
+bitstream layer produces — the reconstruction backends are shared.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+
+import numpy as np
+
+from ..decoder import constants as C
+from ..decoder.blockd import BlockRecord, FramePlan, MiGrid
+from ..decoder.headers import FrameHeader, LoopFilterParams, \
+    SegmentationParams
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libvp9host.so")
+_SRC = os.path.join(_DIR, "vp9host.cpp")
+
+
+class _PlanOut(ct.Structure):
+    _fields_ = [
+        ("ok", ct.c_int32),
+        ("show_existing", ct.c_int32), ("frame_to_show", ct.c_int32),
+        ("frame_type", ct.c_int32), ("show_frame", ct.c_int32),
+        ("intra_only", ct.c_int32),
+        ("width", ct.c_int32), ("height", ct.c_int32),
+        ("bit_depth", ct.c_int32),
+        ("subsampling_x", ct.c_int32), ("subsampling_y", ct.c_int32),
+        ("lossless", ct.c_int32), ("base_qindex", ct.c_int32),
+        ("refresh_frame_flags", ct.c_int32),
+        ("ref_frame_idx", ct.c_int32 * 3),
+        ("interp_filter", ct.c_int32), ("allow_hp", ct.c_int32),
+        ("reference_mode", ct.c_int32),
+        ("log2_tile_cols", ct.c_int32), ("log2_tile_rows", ct.c_int32),
+        ("mi_rows", ct.c_int32), ("mi_cols", ct.c_int32),
+        ("lf_filter_level", ct.c_int32), ("lf_sharpness", ct.c_int32),
+        ("lf_mode_ref_delta_enabled", ct.c_int32),
+        ("lf_ref_deltas", ct.c_int32 * 4),
+        ("lf_mode_deltas", ct.c_int32 * 2),
+        ("seg_enabled", ct.c_int32), ("seg_abs_delta", ct.c_int32),
+        ("seg_feature_enabled", (ct.c_int32 * 4) * 8),
+        ("seg_feature_data", (ct.c_int32 * 4) * 8),
+        ("sb_type", ct.POINTER(ct.c_int8)),
+        ("mode", ct.POINTER(ct.c_int8)),
+        ("uv_mode", ct.POINTER(ct.c_int8)),
+        ("tx_size", ct.POINTER(ct.c_int8)),
+        ("skip", ct.POINTER(ct.c_int8)),
+        ("segment_id", ct.POINTER(ct.c_int8)),
+        ("interp", ct.POINTER(ct.c_int8)),
+        ("ref0", ct.POINTER(ct.c_int8)),
+        ("ref1", ct.POINTER(ct.c_int8)),
+        ("mv", ct.POINTER(ct.c_int32)),
+        ("bmi_mode", ct.POINTER(ct.c_int8)),
+        ("bmi_mv", ct.POINTER(ct.c_int32)),
+        ("seg_map", ct.POINTER(ct.c_uint8)),
+        ("n_blocks", ct.c_int32),
+        ("blocks", ct.POINTER(ct.c_int32)),
+        ("plane_w4", ct.c_int32 * 3), ("plane_h4", ct.c_int32 * 3),
+        ("eob_map", ct.POINTER(ct.c_int32) * 3),
+        ("off_map", ct.POINTER(ct.c_int64) * 3),
+        ("coeffs", ct.POINTER(ct.c_int32) * 3),
+        ("coeff_len", ct.c_int64 * 3),
+    ]
+
+
+_lib = None
+
+
+def build_library(force: bool = False) -> str:
+    """Compile libvp9host.so if missing/stale."""
+    srcs = [_SRC] + [os.path.join(_DIR, f) for f in os.listdir(_DIR)
+                     if f.endswith(".inc") or f.endswith(".h")]
+    if (not force and os.path.exists(_SO)
+            and all(os.path.getmtime(_SO) > os.path.getmtime(s)
+                    for s in srcs)):
+        return _SO
+    subprocess.check_call(
+        ["g++", "-O3", "-shared", "-fPIC", "-Wall", "-Wno-unused-function",
+         "-o", _SO, _SRC])
+    return _SO
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        build_library()
+        _lib = ct.CDLL(_SO)
+        _lib.vp9h_create.restype = ct.c_void_p
+        _lib.vp9h_destroy.argtypes = [ct.c_void_p]
+        _lib.vp9h_parse.restype = ct.c_int
+        _lib.vp9h_parse.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int64,
+                                    ct.POINTER(_PlanOut)]
+    return _lib
+
+
+def _wrap(ptr, shape, dtype):
+    n = int(np.prod(shape))
+    buf = np.ctypeslib.as_array(ptr, shape=(n,))
+    return buf.view(dtype).reshape(shape)
+
+
+class ShowExisting:
+    def __init__(self, idx):
+        self.frame_to_show = idx
+
+
+class NativeParser:
+    """One decoding context (persistent contexts live in C++)."""
+
+    def __init__(self):
+        self._lib = _load()
+        self._h = self._lib.vp9h_create()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.vp9h_destroy(self._h)
+            self._h = None
+
+    def parse(self, payload: bytes):
+        """Parse one (non-superframe) frame; returns FramePlan or
+        ShowExisting.  Raises ValueError on corrupt data.
+
+        The returned plan's arrays VIEW the parser's internal buffers and
+        are valid until the next parse() call.
+        """
+        out = _PlanOut()
+        ok = self._lib.vp9h_parse(self._h, payload, len(payload),
+                                  ct.byref(out))
+        if not ok:
+            raise ValueError("frame data corrupted (native parse)")
+        if out.show_existing:
+            return ShowExisting(out.frame_to_show)
+
+        hdr = FrameHeader()
+        hdr.frame_type = out.frame_type
+        hdr.show_frame = out.show_frame
+        hdr.intra_only = out.intra_only
+        hdr.width = out.width
+        hdr.height = out.height
+        hdr.bit_depth = out.bit_depth
+        hdr.subsampling_x = out.subsampling_x
+        hdr.subsampling_y = out.subsampling_y
+        hdr.lossless = out.lossless
+        hdr.base_qindex = out.base_qindex
+        hdr.refresh_frame_flags = out.refresh_frame_flags
+        hdr.ref_frame_idx = list(out.ref_frame_idx)
+        hdr.interp_filter = out.interp_filter
+        hdr.allow_high_precision_mv = out.allow_hp
+        hdr.log2_tile_cols = out.log2_tile_cols
+        hdr.log2_tile_rows = out.log2_tile_rows
+        hdr.compute_geometry()
+        lf = LoopFilterParams()
+        lf.filter_level = out.lf_filter_level
+        lf.sharpness_level = out.lf_sharpness
+        lf.mode_ref_delta_enabled = out.lf_mode_ref_delta_enabled
+        lf.ref_deltas = list(out.lf_ref_deltas)
+        lf.mode_deltas = list(out.lf_mode_deltas)
+        hdr.lf = lf
+        seg = SegmentationParams()
+        seg.enabled = out.seg_enabled
+        seg.abs_delta = out.seg_abs_delta
+        seg.feature_enabled = [list(out.seg_feature_enabled[i])
+                               for i in range(8)]
+        seg.feature_data = [list(out.seg_feature_data[i]) for i in range(8)]
+        hdr.seg = seg
+
+        R, Cc = out.mi_rows, out.mi_cols
+        mi = MiGrid.__new__(MiGrid)
+        mi.mi_rows = R
+        mi.mi_cols = Cc
+        mi.sb_type = _wrap(out.sb_type, (R, Cc), np.int8)
+        mi.mode = _wrap(out.mode, (R, Cc), np.int8)
+        mi.uv_mode = _wrap(out.uv_mode, (R, Cc), np.int8)
+        mi.tx_size = _wrap(out.tx_size, (R, Cc), np.int8)
+        mi.skip = _wrap(out.skip, (R, Cc), np.int8)
+        mi.segment_id = _wrap(out.segment_id, (R, Cc), np.int8)
+        mi.seg_id_predicted = np.zeros((R, Cc), np.int8)
+        mi.interp_filter = _wrap(out.interp, (R, Cc), np.int8)
+        ref0 = _wrap(out.ref0, (R, Cc), np.int8)
+        ref1 = _wrap(out.ref1, (R, Cc), np.int8)
+        mi.ref = np.stack([ref0, ref1], axis=-1)
+        mi.mv = _wrap(out.mv, (R, Cc, 2, 2), np.int32)
+        mi.bmi_mode = _wrap(out.bmi_mode, (R, Cc, 4), np.int8)
+        mi.bmi_mv = _wrap(out.bmi_mv, (R, Cc, 4, 2, 2), np.int32)
+
+        plan = FramePlan(hdr=hdr, ch=None, mi=mi,
+                         seg_map=_wrap(out.seg_map, (R, Cc), np.uint8))
+        blocks = _wrap(out.blocks, (out.n_blocks, 5), np.int32) \
+            if out.n_blocks else np.zeros((0, 5), np.int32)
+        plan.blocks = [BlockRecord(*row) for row in blocks.tolist()]
+        plan.eob_maps = []
+        plan.coeff_off_maps = []
+        plan.coeffs = []
+        for p in range(3):
+            h4, w4 = out.plane_h4[p], out.plane_w4[p]
+            plan.eob_maps.append(_wrap(out.eob_map[p], (h4, w4), np.int32))
+            plan.coeff_off_maps.append(
+                _wrap(out.off_map[p], (h4, w4), np.int64))
+            n = out.coeff_len[p]
+            plan.coeffs.append(
+                _wrap(out.coeffs[p], (n,), np.int32) if n
+                else np.zeros(0, np.int32))
+
+        class _Ch:
+            reference_mode = out.reference_mode
+        plan.ch = _Ch()
+        return plan

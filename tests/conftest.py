@@ -7,11 +7,16 @@ the test suite validates numerics and sharding on host CPU devices
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
+
+import jax
+
+# The image's sitecustomize pins JAX_PLATFORMS=axon (the tunneled TPU);
+# the config update below still wins as long as no computation ran yet.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
