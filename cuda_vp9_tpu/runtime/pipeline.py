@@ -269,3 +269,135 @@ class TpuRecon:
                     F, R, *(jnp.asarray(cols[j]) for j in range(9)),
                     bs=bs, bd=bd)
         return F
+
+
+class TpuReconFused:
+    """Fused single-dispatch reconstruction with a device-resident
+    reference pool (runtime/fused.py)."""
+
+    def __init__(self, validate_against_oracle: bool = False):
+        import jax
+        import jax.numpy as jnp
+        from . import fused, pack
+        self.jax = jax
+        self.jnp = jnp
+        self.fused = fused
+        self.pack = pack
+        self.kernels = jnp.asarray(M.FILTER_KERNELS.astype(np.int32))
+        self.validate = validate_against_oracle
+        self._steps = {}
+        self._pool = None
+        self._pool_geom = None
+        self.frames_on_device = 0
+        self.frames_on_host = 0
+
+    def _can_run_on_device(self, plan, refs) -> bool:
+        hdr = plan.hdr
+        if hdr.bit_depth != 8:
+            return False
+        if not hdr.frame_is_intra_only:
+            for rb in refs.values():
+                if rb is None:
+                    continue
+                if rb.width != hdr.width or rb.height != hdr.height:
+                    return False
+        return True
+
+    def _ensure_pool(self, plan, refs):
+        jnp = self.jnp
+        hdr = plan.hdr
+        wa = ((hdr.mi_cols + 7) & ~7) * 8
+        ha = ((hdr.mi_rows + 7) & ~7) * 8
+        geom = (ha, wa)
+        if self._pool is None or self._pool_geom != geom:
+            pool = np.zeros((8, 3, ha, wa), np.int32)
+            self._pool = jnp.asarray(pool)
+            self._pool_geom = geom
+            self._pool_hostsync = [False] * 8
+        return ha, wa
+
+    def _sync_pool_slots(self, decoder_slots):
+        """Push host RefBuffer planes into device pool slots (used after a
+        host-fallback frame or pool (re)creation)."""
+        jnp = self.jnp
+        ha, wa = self._pool_geom
+        for i, rb in enumerate(decoder_slots):
+            if rb is None:
+                continue
+            canvas = np.zeros((3, ha, wa), np.int32)
+            for p in range(3):
+                pl = rb.planes[p]
+                canvas[p, :pl.shape[0], :pl.shape[1]] = pl
+            self._pool = self._pool.at[i].set(jnp.asarray(canvas))
+
+    def __call__(self, plan, refs):
+        if not self._can_run_on_device(plan, refs):
+            self.frames_on_host += 1
+            planes = ref_recon.reconstruct_frame(plan, refs)
+            self._host_dirty = True
+            return planes
+        self.frames_on_device += 1
+        return self._recon_device(plan, refs)
+
+    def _recon_device(self, plan, refs):
+        jax, jnp = self.jax, self.jnp
+        hdr = plan.hdr
+        ha, wa = self._ensure_pool(plan, refs)
+        if getattr(self, "_host_dirty", True):
+            # first frame or after a host-fallback: sync all live refs
+            slots = [None] * 8
+            for k, rb in refs.items():
+                if rb is not None:
+                    slots[hdr.ref_frame_idx[k - 1]] = rb
+            self._sync_pool_slots(slots)
+            self._host_dirty = False
+
+        key = (hdr.mi_rows, hdr.mi_cols, bool(hdr.lossless))
+        if key not in self._steps:
+            caps = self.pack.compute_caps(hdr.mi_rows, hdr.mi_cols)
+            self._steps[key] = (self.fused.make_frame_step(
+                hdr.mi_rows, hdr.mi_cols, caps, bool(hdr.lossless)), caps)
+        step, caps = self._steps[key]
+
+        coeff, cpos = self.pack.pack_coeffs(plan, caps)
+        mc4, n4, mc8, n8 = self.pack.pack_mc(plan, refs, caps)
+        # bake pool slot indices into MC tiles
+        slot_map = np.asarray(hdr.ref_frame_idx, np.int32)
+        mc4[:, :, 3] = slot_map[mc4[:, :, 3]]
+        mc8[:, :, 3] = slot_map[mc8[:, :, 3]]
+        chunks, chunk_bs, n_chunks = self.pack.pack_intra(plan, caps)
+        (m_vy, m_hy, m_vuv, m_huv, waves, thr, lf_on) = \
+            self.pack.pack_lf(plan, caps)
+        imask = self.pack.inter_mask(plan)
+
+        A = jnp.asarray
+        F = step(self._pool, self.kernels,
+                 [A(c) for c in coeff], [A(p) for p in cpos],
+                 A(mc4), jnp.int32(n4), A(mc8), jnp.int32(n8),
+                 A(imask), A(chunks), A(chunk_bs), jnp.int32(n_chunks),
+                 [A(m) for m in m_vy], [A(m) for m in m_hy],
+                 [A(m) for m in m_vuv], [A(m) for m in m_huv],
+                 A(waves), A(thr), jnp.int32(lf_on))
+
+        # update device pool slots per refresh flags
+        for i in range(8):
+            if hdr.refresh_frame_flags & (1 << i):
+                self._pool = self._pool.at[i].set(F)
+
+        out = np.asarray(F)
+        ss_x, ss_y = hdr.subsampling_x, hdr.subsampling_y
+        hc, wc = ha >> ss_y, wa >> ss_x
+        planes = [out[0].astype(np.uint16),
+                  out[1, :hc, :wc].astype(np.uint16),
+                  out[2, :hc, :wc].astype(np.uint16)]
+        if self.validate:
+            want = ref_recon.reconstruct_frame(plan, refs)
+            for p in range(3):
+                if not np.array_equal(planes[p], want[p]):
+                    d = np.nonzero(planes[p].astype(int)
+                                   - want[p].astype(int))
+                    raise AssertionError(
+                        f"fused recon mismatch plane {p}: {len(d[0])} px, "
+                        f"first rows {sorted(set(d[0][:8].tolist()))} "
+                        f"cols {sorted(set(d[1][:8].tolist()))}")
+        return planes
