@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """Decode throughput benchmark (driver entry point).
 
-Decodes a VP9 stream end-to-end (host entropy decode + device
-reconstruction) on the default JAX device and prints one JSON line:
+Decodes a VP9 stream end-to-end (native C++ host entropy decode + fused
+single-dispatch device reconstruction) on the default JAX device and
+prints one JSON line:
 
   {"metric": "decode_fps_WxH", "value": N, "unit": "frames/sec",
    "vs_baseline": r}
@@ -53,27 +54,41 @@ def main():
         stream = os.path.join(REPO, "tests", "fixtures", "tl01_640x360_t2.ivf")
 
     from cuda_vp9_tpu.containers import IvfReader
-    from cuda_vp9_tpu.decoder.frame import Vp9Decoder
-    from cuda_vp9_tpu.runtime.pipeline import TpuRecon
+    from cuda_vp9_tpu.decoder.frame import NativeVp9Decoder
+    from cuda_vp9_tpu.runtime.pipeline import TpuReconFused
 
     with IvfReader(stream) as r:
         w, h = r.width, r.height
         packets = [d for d, _ in r]
 
-    def decode_all():
-        recon = TpuRecon()
-        dec = Vp9Decoder(recon_fn=recon)
+    def decode_all(profile=False):
+        from collections import deque
+        recon = TpuReconFused()
+        recon.profile = profile
+        dec = NativeVp9Decoder(recon_fn=recon)
         n = 0
+        q = deque()
         for p in packets:
             dec.decode(p)
-            n += len(list(dec.frames()))
-        return n
+            q.extend(dec.frames())
+            while len(q) > 8:
+                q.popleft().visible_planes()  # materialize output pixels
+                n += 1
+        while q:
+            q.popleft().visible_planes()
+            n += 1
+        return n, recon
 
     decode_all()                 # warmup: jit compiles
     t0 = time.time()
-    n = decode_all()
+    n, recon = decode_all(profile=os.environ.get("BENCH_PROFILE") == "1")
     dt = time.time() - t0
     fps = n / dt
+    if recon.profile:
+        print(f"# frames={n} dev={recon.frames_on_device} "
+              f"host={recon.frames_on_host} total={dt:.2f}s "
+              f"h2d={recon._t_h2d:.2f}s step={recon._t_step:.2f}s",
+              file=sys.stderr)
     target = NORTH_STAR_PIXRATE / (w * h)
     print(json.dumps({
         "metric": f"decode_fps_{w}x{h}",

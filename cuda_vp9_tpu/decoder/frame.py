@@ -292,17 +292,29 @@ class NativeVp9Decoder:
 
 
 def native_decode_stream_md5(ivf_path: str, max_frames: int = 10 ** 9,
-                             recon_fn=None):
-    """decode_stream_md5 with the native host parser."""
+                             recon_fn=None, lag: int = 8):
+    """decode_stream_md5 with the native host parser.
+
+    Consumes output frames `lag` behind the decode front so a device
+    recon backend with a batched output ring (TpuReconFused) amortizes
+    its device->host fetches."""
+    from collections import deque
     from ..containers import IvfReader
     from ..utils.md5 import frame_md5
     dec = NativeVp9Decoder(recon_fn=recon_fn)
     n = 0
+    q = deque()
     with IvfReader(ivf_path) as r:
         for data, _pts in r:
             dec.decode(data)
-            for frame in dec.frames():
-                yield n, frame_md5(frame.visible_planes())
+            q.extend(dec.frames())
+            while len(q) > lag:
+                yield n, frame_md5(q.popleft().visible_planes())
                 n += 1
                 if n >= max_frames:
                     return
+    while q:
+        yield n, frame_md5(q.popleft().visible_planes())
+        n += 1
+        if n >= max_frames:
+            return

@@ -570,6 +570,48 @@ def inv_txfm2d(coeffs: np.ndarray, tx_size: int, tx_type: int,
     return (out + (1 << (shift - 1))) >> shift
 
 
+def inv_txfm2d_select(coeffs, tx_size: int, tt, bd: int, xp=np,
+                      work_dtype=None):
+    """inv_txfm2d with a per-unit tx_type vector tt [N] (0..3).
+
+    Runs one DCT and one ADST 1-D pass per dimension and selects per unit,
+    so a mixed batch costs 4 one-D passes instead of four full 2-D
+    transforms.  Bit-exact with inv_txfm2d for each unit.  Not valid for
+    tx_size == 3 (no ADST variant; use inv_txfm2d)."""
+    assert tx_size < 3
+    n = 4 << tx_size
+    N = coeffs.shape[0]
+    if work_dtype is None:
+        work_dtype = np.int64
+    wrap = make_wrap(bd)
+    if bd == 8:
+        def cast_in(x):
+            return ((x + 0x8000) & 0xFFFF) - 0x8000
+    else:
+        def cast_in(x):
+            return x
+
+    def no_cast(x):
+        return x
+
+    dct = _1D[(tx_size, 0)]
+    adst = _1D[(tx_size, 1)]
+    row_is_adst = ((tt & 2) != 0).reshape(N, 1, 1)
+    col_is_adst = ((tt & 1) != 0).reshape(N, 1, 1)
+
+    x = coeffs.astype(work_dtype).reshape(N, n, n)
+    rows_in = x.reshape(N * n, n)
+    r_d = dct(rows_in, wrap, cast_in, xp).reshape(N, n, n)
+    r_a = adst(rows_in, wrap, no_cast, xp).reshape(N, n, n)
+    inter = xp.where(row_is_adst, r_a, r_d)
+    cols_in = inter.transpose(0, 2, 1).reshape(N * n, n)
+    c_d = dct(cols_in, wrap, cast_in, xp).reshape(N, n, n)
+    c_a = adst(cols_in, wrap, no_cast, xp).reshape(N, n, n)
+    out = xp.where(col_is_adst, c_a, c_d).transpose(0, 2, 1)
+    shift = _SHIFT[tx_size]
+    return (out + (1 << (shift - 1))) >> shift
+
+
 def inv_wht2d(coeffs: np.ndarray, bd: int, xp=np,
               work_dtype=None) -> np.ndarray:
     """Batched 4x4 inverse Walsh-Hadamard (lossless).  coeffs [N,16]."""

@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import models as M
 from ..ops.ref import transforms as T
 from ..ops.device import stages
 
@@ -48,15 +49,9 @@ def _residual_pass(R, coeffs, pos, tx_size, lossless, bd):
     elif tx_size == 3:
         resid = T.inv_txfm2d(coeffs, 3, 0, bd, xp=jnp, work_dtype=I32)
     else:
-        # per-unit tx_type: run DCT and ADST row/col passes, select per unit
-        r_d = T.inv_txfm2d(coeffs, tx_size, 0, bd, xp=jnp, work_dtype=I32)
-        r_a = T.inv_txfm2d(coeffs, tx_size, 1, bd, xp=jnp, work_dtype=I32)
-        r_h = T.inv_txfm2d(coeffs, tx_size, 2, bd, xp=jnp, work_dtype=I32)
-        r_b = T.inv_txfm2d(coeffs, tx_size, 3, bd, xp=jnp, work_dtype=I32)
-        tt = pos[:, 3][:, None, None]
-        resid = jnp.where(tt == 0, r_d,
-                          jnp.where(tt == 1, r_a,
-                                    jnp.where(tt == 2, r_h, r_b)))
+        # per-unit tx_type, selected at the 1-D pass level (4 passes total)
+        resid = T.inv_txfm2d_select(coeffs, tx_size, pos[:, 3], bd,
+                                    xp=jnp, work_dtype=I32)
     rows = pos[:, 1][:, None, None] + jnp.arange(n, dtype=I32)[None, :, None]
     cols = pos[:, 2][:, None, None] + jnp.arange(n, dtype=I32)[None, None, :]
     return R.at[pos[:, 0][:, None, None], rows, cols].set(
@@ -175,6 +170,20 @@ def _filter4_vals(W, mask, hev, bd):
     return op1, op0, oq0, oq1
 
 
+def _filter_window4(W, kind4, lim, blim, hevt, bd):
+    """filter4-only window (interior 4x4 edges): the flat/flat2 wide-filter
+    paths never apply, so skip building them."""
+    mask, hev, _flat = _lf_masks_w(W, lim, blim, hevt, bd)
+    mask = mask & kind4
+    op1, op0, oq0, oq1 = _filter4_vals(W, mask, hev, bd)
+    out = W
+    out = out.at[..., 6].set(jnp.where(mask, op1, W[..., 6]))
+    out = out.at[..., 7].set(jnp.where(mask, op0, W[..., 7]))
+    out = out.at[..., 8].set(jnp.where(mask, oq0, W[..., 8]))
+    out = out.at[..., 9].set(jnp.where(mask, oq1, W[..., 9]))
+    return out
+
+
 def _filter_window(W, kind16, kind8, kind4, lim, blim, hevt, bd):
     """Filter a [..., 16] window across the edge (at index 8) given
     per-row one-hot filter-kind flags.  Returns the new window."""
@@ -227,94 +236,92 @@ def _filter_window(W, kind16, kind8, kind4, lim, blim, hevt, bd):
     return out
 
 
-def _lf_edge(F, plane_idx, sbr, sbc, edge_i, meta, thr, groups, horiz, bd):
-    """Filter one edge line (vertical column or horizontal row) of a batch
-    of superblocks, including the interior 4x4 edge 4px after it.
-
-    sbr/sbc: [N] SB coords (padded entries = -32768, dropped at scatter).
-    meta = (lfl, m16, m8, m4, m4i) mask planes in 8px cell units;
-    groups = cells per SB side (8 for Y, 4 for chroma).
-    """
-    lfl, m16, m8, m4, m4i = meta
+def _lf_wave_tiles(F, sbr, sbc, meta_vy, meta_hy, meta_vuv, meta_huv,
+                   thr, bd):
+    """Process one wave of SBs: gather per-SB tiles (with 8px top/left
+    aprons), chain all edge filters inside the tile, scatter back."""
     N = sbr.shape[0]
-    g = groups
-    # mask cells along the edge: for vertical edges the cells run down the
-    # SB (rows), for horizontal edges across it (cols)
-    if horiz:
-        cell_r = sbr[:, None] * g + edge_i
-        cell_c = sbc[:, None] * g + jnp.arange(g, dtype=I32)[None, :]
-    else:
-        cell_r = sbr[:, None] * g + jnp.arange(g, dtype=I32)[None, :]
-        cell_c = sbc[:, None] * g + edge_i
-    rc = jnp.clip(cell_r, 0, lfl.shape[0] - 1)
-    cc = jnp.clip(cell_c, 0, lfl.shape[1] - 1)
-    valid = (cell_r >= 0) & (cell_r < lfl.shape[0]) \
-        & (cell_c >= 0) & (cell_c < lfl.shape[1])
-    lv = lfl[rc, cc]
-    k16 = m16[rc, cc] & valid
-    k8 = m8[rc, cc] & valid
-    k4 = m4[rc, cc] & valid
-    k4i = m4i[rc, cc] & valid
-    mblim, lim, hevt = thr[0][lv], thr[1][lv], thr[2][lv]
-
-    npx = g * 8
-    if horiz:
-        # edge at row y = (sbr*g + edge_i)*8; samples run along columns
-        y = (sbr * g + edge_i) * 8
-        x0 = sbc * g * 8
-        along = x0[:, None] + jnp.arange(npx, dtype=I32)[None, :]
-        across = y[:, None] + jnp.arange(-8, 8, dtype=I32)[None, :]
-        W = F[plane_idx, jnp.clip(across, 0, F.shape[1] - 1)[:, None, :],
-              jnp.clip(along, 0, F.shape[2] - 1)[:, :, None]]
-    else:
-        x = (sbc * g + edge_i) * 8
-        y0 = sbr * g * 8
-        along = y0[:, None] + jnp.arange(npx, dtype=I32)[None, :]
-        across = x[:, None] + jnp.arange(-8, 8, dtype=I32)[None, :]
-        W = F[plane_idx, jnp.clip(along, 0, F.shape[1] - 1)[:, :, None],
-              jnp.clip(across, 0, F.shape[2] - 1)[:, None, :]]
-    W = W.reshape(N, g, 8, 16)
-    ex = lambda a: a[:, :, None]
-    Wf = _filter_window(W, ex(k16), ex(k8), ex(k4), ex(lim), ex(mblim),
-                        ex(hevt), bd)
-    # interior 4x4 edge at +4: its 8-wide neighborhood is Wf[..., 8:16]
-    Wi = jnp.zeros((N, g, 8, 16), I32)
-    Wi = Wi.at[..., 4:12].set(Wf[..., 8:16])
-    zero = jnp.zeros_like(ex(k4i))
-    Wif = _filter_window(Wi, zero, zero, ex(k4i), ex(lim), ex(mblim),
-                         ex(hevt), bd)
-    Wf = Wf.at[..., 10:14].set(Wif[..., 6:10])
-    Wm = Wf.reshape(N, npx, 16)
-    # jnp scatter follows numpy negative-index wrapping; push small negative
-    # window coordinates (frame edge) far out of range so "drop" applies
     BIG = jnp.int32(-(1 << 30))
-    along_s = jnp.where(along < 0, BIG, along)
-    across_s = jnp.where(across < 0, BIG, across)
-    if horiz:
-        return F.at[plane_idx, across_s[:, None, :],
-                    along_s[:, :, None]].set(Wm, mode="drop")
-    return F.at[plane_idx, along_s[:, :, None],
-                across_s[:, None, :]].set(Wm, mode="drop")
+
+    def do_plane(F, plane_ids, meta_v, meta_h, g):
+        # g = cells per SB side (8 luma, 4 chroma); tile = [g*8+8]^2
+        npx = g * 8
+        P = plane_ids.shape[0]  # 1 for luma, 2 for chroma
+        ts = npx + 8
+        rr = (sbr * npx)[:, None] - 8 + jnp.arange(ts, dtype=I32)[None, :]
+        cc = (sbc * npx)[:, None] - 8 + jnp.arange(ts, dtype=I32)[None, :]
+        rr_g = jnp.clip(rr, 0, F.shape[1] - 1)
+        cc_g = jnp.clip(cc, 0, F.shape[2] - 1)
+        # [N, P, ts, ts]
+        tile = F[plane_ids[None, :, None, None],
+                 rr_g[:, None, :, None], cc_g[:, None, None, :]]
+
+        def masks_at(meta, cell_r, cell_c):
+            lfl, m16, m8, m4, m4i = meta
+            rc = jnp.clip(cell_r, 0, lfl.shape[0] - 1)
+            cl = jnp.clip(cell_c, 0, lfl.shape[1] - 1)
+            valid = (cell_r >= 0) & (cell_r < lfl.shape[0])                 & (cell_c >= 0) & (cell_c < lfl.shape[1])
+            lv = lfl[rc, cl]
+            return (m16[rc, cl] & valid, m8[rc, cl] & valid,
+                    m4[rc, cl] & valid, m4i[rc, cl] & valid,
+                    thr[0][lv], thr[1][lv], thr[2][lv])
+
+        # vertical edges
+        for i in range(g):
+            cell_r = sbr[:, None] * g + jnp.arange(g, dtype=I32)[None, :]
+            cell_c = (sbc * g + i)[:, None]
+            k16, k8, k4, k4i, mb, lm, hv = masks_at(
+                meta_v, cell_r, jnp.broadcast_to(cell_c, cell_r.shape))
+            W = jax.lax.dynamic_slice(
+                tile, (0, 0, 8, i * 8), (N, P, npx, 16))
+            W = W.reshape(N, P, g, 8, 16)
+            e2 = lambda a: a[:, None, :, None]
+            Wf = _filter_window(W, e2(k16), e2(k8), e2(k4), e2(lm), e2(mb),
+                                e2(hv), bd)
+            Wi = jnp.zeros_like(Wf)
+            Wi = Wi.at[..., 4:12].set(Wf[..., 8:16])
+            Wif = _filter_window4(Wi, e2(k4i), e2(lm), e2(mb), e2(hv), bd)
+            Wf = Wf.at[..., 10:14].set(Wif[..., 6:10])
+            tile = jax.lax.dynamic_update_slice(
+                tile, Wf.reshape(N, P, npx, 16), (0, 0, 8, i * 8))
+        # horizontal edges
+        for j in range(g):
+            cell_r = (sbr * g + j)[:, None]
+            cell_c = sbc[:, None] * g + jnp.arange(g, dtype=I32)[None, :]
+            k16, k8, k4, k4i, mb, lm, hv = masks_at(
+                meta_h, jnp.broadcast_to(cell_r, cell_c.shape), cell_c)
+            W = jax.lax.dynamic_slice(
+                tile, (0, 0, j * 8, 8), (N, P, 16, npx))
+            W = W.transpose(0, 1, 3, 2).reshape(N, P, g, 8, 16)
+            e2 = lambda a: a[:, None, :, None]
+            Wf = _filter_window(W, e2(k16), e2(k8), e2(k4), e2(lm), e2(mb),
+                                e2(hv), bd)
+            Wi = jnp.zeros_like(Wf)
+            Wi = Wi.at[..., 4:12].set(Wf[..., 8:16])
+            Wif = _filter_window4(Wi, e2(k4i), e2(lm), e2(mb), e2(hv), bd)
+            Wf = Wf.at[..., 10:14].set(Wif[..., 6:10])
+            Wt = Wf.reshape(N, P, npx, 16).transpose(0, 1, 3, 2)
+            tile = jax.lax.dynamic_update_slice(tile, Wt, (0, 0, j * 8, 8))
+
+        rr_s = jnp.where(rr < 0, BIG, rr)
+        cc_s = jnp.where(cc < 0, BIG, cc)
+        return F.at[plane_ids[None, :, None, None],
+                    rr_s[:, None, :, None],
+                    cc_s[:, None, None, :]].set(tile, mode="drop")
+
+    F = do_plane(F, jnp.array([0], I32), meta_vy, meta_hy, 8)
+    F = do_plane(F, jnp.array([1, 2], I32), meta_vuv, meta_huv, 4)
+    return F
 
 
 def _lf_pass(F, wave_sbs, n_waves, meta_vy, meta_hy, meta_vuv, meta_huv,
              thr, bd):
-    """fori_loop over SB anti-diagonal waves; per plane all vertical edges
-    then all horizontal edges (normative order)."""
+    """fori_loop over SB anti-diagonal waves (w = 2r + c)."""
     def body(w, F):
         sbs = jax.lax.dynamic_index_in_dim(wave_sbs, w, axis=0,
                                            keepdims=False)
-        sbr, sbc = sbs[:, 0], sbs[:, 1]
-        for i in range(8):
-            F = _lf_edge(F, 0, sbr, sbc, i, meta_vy, thr, 8, False, bd)
-        for i in range(8):
-            F = _lf_edge(F, 0, sbr, sbc, i, meta_hy, thr, 8, True, bd)
-        for p in (1, 2):
-            for i in range(4):
-                F = _lf_edge(F, p, sbr, sbc, i, meta_vuv, thr, 4, False, bd)
-            for i in range(4):
-                F = _lf_edge(F, p, sbr, sbc, i, meta_huv, thr, 4, True, bd)
-        return F
+        return _lf_wave_tiles(F, sbs[:, 0], sbs[:, 1], meta_vy, meta_hy,
+                              meta_vuv, meta_huv, thr, bd)
     return jax.lax.fori_loop(0, n_waves, body, F)
 
 
@@ -322,29 +329,102 @@ def _lf_pass(F, wave_sbs, n_waves, meta_vy, meta_hy, meta_vuv, meta_huv,
 
 
 def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
-                    lossless: bool, bd: int = 8):
-    """Build the jitted fused step for one frame geometry."""
+                    layout, lossless: bool, bd: int = 8):
+    """Build the jitted fused step for one frame geometry.
+
+    step(pool, kernels, flat) -> (new_pool, out_u8)
+      pool    [8, 3, ha, wa] int32 device-resident reference pool (donated)
+      flat    [layout.size]  int16 packed frame (pack.pack_frame)
+      out_u8  flat uint8: Y plane [ha*wa] ++ U ++ V quarter planes
+    The reference-pool refresh (refresh_frame_flags) happens in-step so a
+    frame is exactly one dispatch, one H2D and one D2H transfer.
+    """
     ha = ((mi_rows + 7) & ~7) * 8
     wa = ((mi_cols + 7) & ~7) * 8
+    R2, C2 = cdiv(mi_rows, 2), cdiv(mi_cols, 2)
 
-    @jax.jit
-    def step(pool, kernels, coeff, cpos, mc4, n_mc4, mc8, n_mc8,
-             inter_mask, intra_chunks, chunk_bs, n_chunks,
-             lf_vy, lf_hy, lf_vuv, lf_huv, lf_waves, thr, lf_on):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(pool, ring, kernels, flat):
+        def seg(name, dtype=I32):
+            off, shape = layout.segs[name]
+            n = int(np.prod(shape))
+            a = jax.lax.slice(flat, (off,), (off + n,)).reshape(shape)
+            return a.astype(dtype)
+
+        misc = seg("misc")
         F = jnp.zeros((3, ha, wa), I32)
         R = jnp.zeros((3, ha, wa), I32)
-        for tx in range(4):
-            if lossless and tx > 0:
-                continue  # lossless forces ONLY_4X4: other buckets empty
-            if caps[f"tx{tx}"]:
-                R = _residual_pass(R, coeff[tx], cpos[tx], tx, lossless, bd)
-        F = _mc_pass(F, pool, kernels, mc4, n_mc4, 4, 4, bd)
-        F = _mc_pass(F, pool, kernels, mc8, n_mc8, 8, 8, bd)
-        F = jnp.where(inter_mask, jnp.clip(F + R, 0, (1 << bd) - 1), F)
-        F = _intra_pass(F, R, intra_chunks, chunk_bs, n_chunks, bd)
-        F = _lf_pass(F, lf_waves, lf_on * lf_waves.shape[0],
-                     tuple(lf_vy), tuple(lf_hy), tuple(lf_vuv),
-                     tuple(lf_huv), thr, bd)
-        return F
+        from .pack import COEFF_BUCKETS
+        for name, tx, ncoef in COEFF_BUCKETS:
+            if lossless and name != "tx0":
+                continue
+            cm = seg(f"coeff_{name}")
+            pos = seg(f"cpos_{name}")
+            n2 = (4 << tx) * (4 << tx)
+            if ncoef < n2:
+                # sparse: first-ncoef scan coefficients -> expand to raster
+                scan = jnp.asarray(np.stack(
+                    [np.asarray(M.SCAN_ORDERS[tx][t].scan[:ncoef],
+                                np.int32) for t in range(4)]))
+                idx = scan[pos[:, 3]]
+                full = jnp.zeros((cm.shape[0], n2), I32)
+                cap_i = jnp.arange(cm.shape[0], dtype=I32)[:, None]
+                cm = full.at[cap_i, idx].set(cm)
+            R = _residual_pass(R, cm, pos, tx, lossless, bd)
+        F = _mc_pass(F, pool, kernels, seg("mc4"), misc[0], 4, 4, bd)
+        F = _mc_pass(F, pool, kernels, seg("mc8"), misc[1], 8, 8, bd)
+        F = _mc_pass(F, pool, kernels, seg("mc16"), misc[2], 16, 16, bd)
+        # inter residual add over non-skip inter mi cells
+        m = seg("mi_mask")
+        mask = jnp.zeros((3, ha, wa), jnp.bool_)
+        y8 = jnp.repeat(jnp.repeat(m, 8, axis=0), 8, axis=1) != 0
+        mask = mask.at[0, :mi_rows * 8, :mi_cols * 8].set(y8)
+        c4 = jnp.repeat(jnp.repeat(m, 4, axis=0), 4, axis=1) != 0
+        mask = mask.at[1, :mi_rows * 4, :mi_cols * 4].set(c4)
+        mask = mask.at[2, :mi_rows * 4, :mi_cols * 4].set(c4)
+        F = jnp.where(mask, jnp.clip(F + R, 0, (1 << bd) - 1), F)
+        F = _intra_pass(F, R, seg("intra"), seg("chunk_bs"), misc[3], bd)
+        # loop filter
+        lvl = seg("lf_lvl")
+        msk = seg("lf_masks", jnp.bool_)
+        meta_vy = (lvl[0],) + tuple(msk[0, 0, k] for k in range(4))
+        meta_hy = (lvl[0],) + tuple(msk[0, 1, k] for k in range(4))
+        meta_vuv = (lvl[1, :R2, :C2],) + tuple(
+            msk[1, 0, k, :R2, :C2] for k in range(4))
+        meta_huv = (lvl[1, :R2, :C2],) + tuple(
+            msk[1, 1, k, :R2, :C2] for k in range(4))
+        waves = seg("lf_waves")
+        F = _lf_pass(F, waves, misc[4] * waves.shape[0],
+                     meta_vy, meta_hy, meta_vuv, meta_huv, seg("thr"), bd)
+        # in-step reference-pool refresh
+        refresh = misc[5:13]
+        pool = jnp.where(refresh[:, None, None, None] > 0, F[None], pool)
+        # write the frame into its output-ring slot (fetched in one D2H per
+        # RING frames: the tunnel's device->host fixed cost amortizes)
+        hc, wc = ha >> 1, wa >> 1
+        out = jnp.concatenate(
+            [F[0].reshape(-1), F[1, :hc, :wc].reshape(-1),
+             F[2, :hc, :wc].reshape(-1)]).astype(jnp.uint8)
+        ring = jax.lax.dynamic_update_index_in_dim(ring, out, misc[13], 0)
+        return pool, ring
 
     return step
+
+
+# Module-level step cache: steps are pure functions of the geometry key, so
+# independent decoder instances (e.g. bench warmup vs timed run) share
+# compilations.
+_STEP_CACHE = {}
+
+
+def get_frame_step(mi_rows: int, mi_cols: int, tier: str, lossless: bool,
+                   bd: int = 8):
+    """Cached (step, caps, layout) for one frame-geometry/cap-tier key."""
+    from . import pack
+    key = (mi_rows, mi_cols, tier, lossless, bd)
+    if key not in _STEP_CACHE:
+        caps = pack.compute_caps(mi_rows, mi_cols, tier, lossless)
+        layout = pack.build_layout(caps, mi_rows, mi_cols, lossless)
+        step = make_frame_step(mi_rows, mi_cols, caps, layout, lossless, bd)
+        _STEP_CACHE[key] = (step, caps, layout)
+    return _STEP_CACHE[key]

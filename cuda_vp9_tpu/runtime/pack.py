@@ -1,6 +1,21 @@
-"""Host packer: FramePlan -> fixed-shape tensors for the fused frame step.
+"""Host packer: FramePlan -> ONE flat int16 tensor for the fused step.
 
-Capacities are static per frame geometry so each stream compiles once.
+Everything the fused frame step consumes (coefficients, MC tiles, intra
+chunks, loop-filter masks, scalars) is packed into a single flat int16
+buffer with a layout that is static per (frame geometry, cap tier), so a
+frame costs exactly one host->device transfer.  Capacities come in two
+tiers:
+
+  "full"  — worst-case (used for intra-only frames: all-intra, all
+            coefficients possible, no MC),
+  "tight" — sized for typical inter frames; pack_frame returns None on
+            overflow and the caller falls back to the host oracle for
+            that frame (bit-exact either way).
+
+Values all fit int16: pixel coordinates < 2^13, dequantized coefficients
+are range-checked (overflow -> fallback), pad marker is -32768 which
+survives the device-side int32 cast and lands far out of range so padded
+work drops at scatter.
 """
 
 from __future__ import annotations
@@ -13,7 +28,11 @@ from .. import models as M
 from ..decoder import constants as C
 from . import lfmeta
 from . import plan as planlib
-from .fused import CHUNK_INTRA, CHUNK_MC, cdiv
+
+CHUNK_INTRA = 64
+CHUNK_MC4 = 2048
+CHUNK_MC8 = 1024
+CHUNK_MC16 = 512
 
 _INTRA_MODE_TO_TX_TYPE = np.array(
     [0, 1, 2, 0, 3, 1, 2, 2, 1, 3], np.int32)
@@ -28,41 +47,128 @@ EXTEND = np.array([NEED_ABOVE | NEED_LEFT, NEED_ABOVE, NEED_LEFT,
                   np.int32)
 
 
-def compute_caps(mi_rows: int, mi_cols: int) -> Dict[str, int]:
+def cdiv(a, b):
+    return (a + b - 1) // b
+
+
+# Coefficient buckets: (name, tx_size, shipped coeff count).  tx2/tx3
+# units ship only their first-N scan-order coefficients when eob allows
+# (N < n*n), spilling to the next-larger bucket when a bucket fills.
+COEFF_BUCKETS = (
+    ("tx0", 0, 16),
+    ("tx1", 1, 64),
+    ("tx2s", 2, 64), ("tx2d", 2, 256),
+    ("tx3s", 3, 64), ("tx3m", 3, 256), ("tx3d", 3, 1024),
+)
+
+last_overflow = None  # (segment, needed, cap) of the most recent fallback
+
+
+def _note_overflow(seg, needed, cap):
+    global last_overflow
+    last_overflow = (seg, needed, cap)
+
+
+def compute_caps(mi_rows: int, mi_cols: int, tier: str,
+                 lossless: bool = False) -> Dict[str, int]:
     w4, h4 = mi_cols * 2, mi_rows * 2
     cells = w4 * h4          # luma 4x4 blocks
     total44 = cells + 2 * (cells // 4)
-    caps = {}
-    for tx in range(4):
-        caps[f"tx{tx}"] = max(16, total44 >> (2 * tx))
-    # MC tiles: worst case all-4x4 sub8x8 with compound (2 refs)
-    caps["mc4"] = cdiv(max(CHUNK_MC, (cells + 2 * (cells // 4)) * 2),
-                       CHUNK_MC)
-    caps["mc8"] = cdiv(max(CHUNK_MC, (cells // 4 + 2 * (cells // 16)) * 2),
-                       CHUNK_MC)
-    # intra chunks: all-intra frame; every wave can open up to 4 bs groups
-    max_units = total44
-    max_waves = w4 + h4 + 2
-    caps["intra"] = cdiv(max_units, CHUNK_INTRA) + 4 * max_waves
+    worst = [max(16, total44 >> (2 * t)) for t in range(4)]
+    caps = {"tier": tier}
+    if tier == "full":
+        # intra-only frames must NEVER overflow: worst-case everywhere
+        # (sparse buckets stay tiny; dense buckets take the worst case)
+        caps["tx0"] = worst[0]
+        caps["tx1"] = worst[1]
+        caps["tx2s"] = max(8, worst[2] >> 3)
+        caps["tx2d"] = worst[2]
+        caps["tx3s"] = max(8, worst[3] >> 3)
+        caps["tx3m"] = max(8, worst[3] >> 2)
+        caps["tx3d"] = worst[3]
+        caps["mc4"] = caps["mc8"] = caps["mc16"] = 1
+        max_waves = w4 + h4 + 2
+        caps["intra"] = cdiv(total44, CHUNK_INTRA) + 4 * max_waves
+    else:
+        caps["tx0"] = worst[0] if lossless else max(64, worst[0] * 3 // 8)
+        caps["tx1"] = max(64, worst[1] >> 1)
+        caps["tx2s"] = max(64, worst[2] >> 1)
+        caps["tx2d"] = max(16, worst[2] >> 2)
+        caps["tx3s"] = worst[3]
+        caps["tx3m"] = max(8, worst[3] >> 2)
+        caps["tx3d"] = max(16, worst[3] >> 2)
+        m4_worst = (cells + 2 * (cells // 4)) * 2
+        m8_worst = (cells // 4 + 2 * (cells // 16)) * 2
+        m16_worst = (cells // 16 + 2 * (cells // 64)) * 2
+        caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, CHUNK_MC4))
+        caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8))
+        caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16))
+        caps["intra"] = cdiv(total44 // 4, CHUNK_INTRA) + 128
     sbr, sbc = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
     caps["lf_waves"] = 2 * sbr + sbc if sbr * sbc else 0
     caps["lf_maxsb"] = min(sbr, cdiv(sbc + 1, 2)) + 1
     return caps
 
 
-def pack_coeffs(plan, caps):
-    """Returns (coeff[4] arrays, cpos[4] arrays)."""
-    hdr = plan.hdr
+class FlatLayout:
+    """Named segments inside one flat int16 buffer (static per geometry)."""
+
+    def __init__(self):
+        self.segs: Dict[str, tuple] = {}
+        self.size = 0
+
+    def add(self, name, shape):
+        n = int(np.prod(shape))
+        self.segs[name] = (self.size, tuple(shape))
+        self.size += n
+
+    def view(self, buf, name):
+        off, shape = self.segs[name]
+        return buf[off:off + int(np.prod(shape))].reshape(shape)
+
+
+def build_layout(caps, mi_rows, mi_cols, lossless) -> FlatLayout:
+    L = FlatLayout()
+    for name, t, ncoef in COEFF_BUCKETS:
+        if lossless and name != "tx0":
+            continue
+        L.add(f"coeff_{name}", (caps[name], ncoef))
+        L.add(f"cpos_{name}", (caps[name], 4))
+    L.add("mc4", (caps["mc4"], CHUNK_MC4, 12))
+    L.add("mc8", (caps["mc8"], CHUNK_MC8, 12))
+    L.add("mc16", (caps["mc16"], CHUNK_MC16, 12))
+    L.add("intra", (caps["intra"], CHUNK_INTRA, 9))
+    L.add("chunk_bs", (caps["intra"],))
+    L.add("mi_mask", (mi_rows, mi_cols))
+    L.add("lf_lvl", (2, mi_rows, mi_cols))
+    L.add("lf_masks", (2, 2, 4, mi_rows, mi_cols))
+    L.add("lf_waves", (max(1, caps["lf_waves"]), caps["lf_maxsb"], 2))
+    L.add("thr", (3, 64))
+    L.add("misc", (16,))
+    return L
+
+
+_SCAN_PREFIX = {}
+
+
+def scan_prefix(t, ncoef):
+    """[4, ncoef] first-ncoef scan indices for each tx_type."""
+    key = (t, ncoef)
+    if key not in _SCAN_PREFIX:
+        _SCAN_PREFIX[key] = np.stack([
+            M.SCAN_ORDERS[t][tt].scan[:ncoef] for tt in range(4)])
+    return _SCAN_PREFIX[key]
+
+
+def _pack_coeffs(plan, caps, layout, buf, lossless):
     mi = plan.mi
-    lossless = bool(hdr.lossless)
-    out_c = []
-    out_p = []
-    # derive per-position tx size / type for all planes at once
-    buckets = {tx: [] for tx in range(4)}
+    # gather all coded transform units across planes
+    U = {"plane": [], "y": [], "x": [], "off": [], "tt": [], "eob": [],
+         "tx": []}
     for plane in range(3):
-        eob = plan.eob_maps[plane]
+        eob_map = plan.eob_maps[plane]
         off = plan.coeff_off_maps[plane]
-        ys, xs = np.nonzero(eob > 0)
+        ys, xs = np.nonzero(eob_map > 0)
         if len(ys) == 0:
             continue
         if plane:
@@ -86,46 +192,77 @@ def pack_coeffs(plan, caps):
                 mode_s = mi.bmi_mode[mi_r, mi_c, sub]
                 mode_b = mi.mode[mi_r, mi_c]
                 mode = np.where(bsize < C.BLOCK_8X8, mode_s, mode_b)
-                mode = np.minimum(mode.astype(np.int32), 9)  # inter -> DCT
+                mode = np.minimum(mode.astype(np.int32), 9)
                 tt = np.where(inter, 0,
                               _INTRA_MODE_TO_TX_TYPE[mode]).astype(np.int32)
         tt = np.where(tx == 3, 0, tt)
-        offs = off[ys, xs]
-        for t in range(4):
-            sel = tx == t
-            if sel.any():
-                buckets[t].append((plane, ys[sel], xs[sel], offs[sel],
-                                   tt[sel]))
-    for t in range(4):
-        cap = caps[f"tx{t}"]
-        n = 4 << t
-        cm = np.zeros((cap, n * n), np.int32)
-        pm = np.zeros((cap, 4), np.int32)
+        U["plane"].append(np.full(len(ys), plane))
+        U["y"].append(ys)
+        U["x"].append(xs)
+        U["off"].append(off[ys, xs])
+        U["tt"].append(tt)
+        U["eob"].append(eob_map[ys, xs])
+        U["tx"].append(tx)
+    if U["plane"]:
+        A = {k: np.concatenate(v) for k, v in U.items()}
+    else:
+        A = {k: np.zeros(0, np.int64) for k in U}
+    srcs = plan.coeffs
+
+    assigned = np.zeros(len(A["tx"]), bool)
+    for name, t, ncoef in COEFF_BUCKETS:
+        if lossless and name != "tx0":
+            continue  # non-tx0 units would be caught by the final check
+        full = ncoef == (4 << t) * (4 << t)
+        elig = (A["tx"] == t) & ~assigned
+        if not full:
+            elig &= A["eob"] <= ncoef
+        idx = np.nonzero(elig)[0]
+        cap = caps[name]
+        if full and len(idx) > cap:
+            _note_overflow(name, len(idx), cap)
+            return False
+        idx = idx[:cap]  # excess spills to the next (larger) bucket
+        assigned[idx] = True
+        cm = layout.view(buf, f"coeff_{name}")
+        pm = layout.view(buf, f"cpos_{name}")
         pm[:, 1] = -32768
-        k = 0
-        for plane, ys, xs, offs, tts in buckets[t]:
-            cnt = len(ys)
-            src = plan.coeffs[plane]
-            idx = offs[:, None] + np.arange(n * n)[None, :]
-            cm[k:k + cnt] = src[idx]
-            pm[k:k + cnt, 0] = plane
-            pm[k:k + cnt, 1] = ys * 4
-            pm[k:k + cnt, 2] = xs * 4
-            pm[k:k + cnt, 3] = tts
-            k += cnt
-        out_c.append(cm)
-        out_p.append(pm)
-    return out_c, out_p
+        if len(idx) == 0:
+            continue
+        offs = A["off"][idx]
+        tts = A["tt"][idx].astype(np.int64)
+        if full:
+            gidx = offs[:, None] + np.arange(ncoef)[None, :]
+        else:
+            gidx = offs[:, None] + scan_prefix(t, ncoef)[tts]
+        # gather per plane (coeff buffers are separate per plane)
+        pl = A["plane"][idx]
+        vals = np.empty((len(idx), ncoef), np.int64)
+        for pp in range(3):
+            s = pl == pp
+            if s.any():
+                vals[s] = srcs[pp][gidx[s]]
+        if np.abs(vals).max(initial=0) > 32767:
+            _note_overflow("coeff_range", 0, 0)
+            return False
+        cm[:len(idx)] = vals
+        pm[:len(idx), 0] = pl
+        pm[:len(idx), 1] = A["y"][idx] * 4
+        pm[:len(idx), 2] = A["x"][idx] * 4
+        pm[:len(idx), 3] = tts
+    if not assigned.all():
+        _note_overflow("coeff_unassigned", int((~assigned).sum()), 0)
+        return False
+    return True
 
 
-def pack_mc(plan, refs, caps):
-    """Returns (mc4 [C4, CHUNK, 12], n4, mc8 [C8, CHUNK, 12], n8)."""
+def _pack_mc(plan, refs, caps, layout, buf):
     ref_sizes = {k: (rb.width, rb.height) if rb else None
                  for k, rb in refs.items()}
     units = planlib.build_mc_units(plan, ref_sizes)
     hdr = plan.hdr
-    tiles4 = []
-    tiles8 = []
+    slot_map = np.asarray(hdr.ref_frame_idx, np.int32)
+    tiles = {4: [], 8: [], 16: []}
     crop = {}
     for k, rb in refs.items():
         if rb is None:
@@ -137,10 +274,12 @@ def pack_mc(plan, refs, caps):
                                 (rb.height + sy) >> sy)
     for u in units:
         cw, ch_ = crop[(u.ref_slot, u.plane)]
-        base = [u.plane, 0, 0, u.ref_slot, 0, 0, u.subpel_x, u.subpel_y,
+        pool_slot = int(slot_map[u.ref_slot])
+        base = [u.plane, 0, 0, pool_slot, 0, 0, u.subpel_x, u.subpel_y,
                 u.filter, cw, ch_, u.is_avg]
-        ts = 8 if (u.w >= 8 and u.h >= 8) else 4
-        dest = tiles8 if ts == 8 else tiles4
+        ts = 16 if (u.w >= 16 and u.h >= 16) else \
+            8 if (u.w >= 8 and u.h >= 8) else 4
+        dest = tiles[ts]
         for ty in range(0, u.h, ts):
             for tx in range(0, u.w, ts):
                 t = list(base)
@@ -149,24 +288,23 @@ def pack_mc(plan, refs, caps):
                 t[4] = u.x0 + tx
                 t[5] = u.y0 + ty
                 dest.append(t)
-    def pad(tiles, cap_chunks):
-        # avg tiles must run after all their ref0 partners: stable ordering
-        tiles = sorted(tiles, key=lambda t: t[11])
-        n = len(tiles)
-        nch = max(1, cdiv(n, CHUNK_MC))
-        arr = np.zeros((cap_chunks, CHUNK_MC, 12), np.int32)
+    nums = []
+    for ts, chunk, name in ((4, CHUNK_MC4, "mc4"), (8, CHUNK_MC8, "mc8"),
+                            (16, CHUNK_MC16, "mc16")):
+        tl = sorted(tiles[ts], key=lambda t: t[11])  # avg tiles last
+        n = len(tl)
+        arr = layout.view(buf, name)
+        if n > arr.shape[0] * arr.shape[1]:
+            _note_overflow(name, n, arr.shape[0] * arr.shape[1])
+            return None  # overflow -> host fallback
         arr[:, :, 2] = -32768
         if n:
-            flat = np.array(tiles, np.int32)
-            a2 = arr.reshape(-1, 12)
-            a2[:n] = flat
-        return arr, np.int32(nch if n else 0)
-    mc4, n4 = pad(tiles4, caps["mc4"])
-    mc8, n8 = pad(tiles8, caps["mc8"])
-    return mc4, n4, mc8, n8
+            arr.reshape(-1, 12)[:n] = np.array(tl, np.int16)
+        nums.append(cdiv(n, chunk) if n else 0)
+    return nums
 
 
-def pack_intra(plan, caps):
+def _pack_intra(plan, caps, layout, buf):
     units, _num_waves = planlib.build_intra_units(plan)
     hdr = plan.hdr
     ss_x, ss_y = hdr.subsampling_x, hdr.subsampling_y
@@ -206,11 +344,11 @@ def pack_intra(plan, caps):
         rows.append((u.wave, bs_idx, u.plane, u.x0, u.y0, u.mode, n_above,
                      n_left, tl_mode, u.have_up, u.have_left))
     cap = caps["intra"]
-    chunks = np.zeros((cap, CHUNK_INTRA, 9), np.int32)
+    chunks = layout.view(buf, "intra")
+    chunk_bs = layout.view(buf, "chunk_bs")
     chunks[:, :, 2] = -32768
-    chunk_bs = np.zeros(cap, np.int32)
     if not rows:
-        return chunks, chunk_bs, np.int32(0)
+        return 0
     rows.sort(key=lambda t: (t[0], t[1]))
     ci = 0
     pos = 0
@@ -220,51 +358,73 @@ def pack_intra(plan, caps):
         key = (t[0], t[1])
         if key != cur_key or pos == CHUNK_INTRA:
             ci += 1
+            if ci >= cap:
+                _note_overflow("intra", ci + 1, cap)
+                return None  # overflow -> host fallback
             pos = 0
             cur_key = key
             chunk_bs[ci] = t[1]
         chunks[ci, pos] = t[2:]
         pos += 1
-    return chunks, chunk_bs, np.int32(ci + 1)
+    return ci + 1
 
 
-def pack_lf(plan, caps):
+def _pack_lf(plan, caps, layout, buf):
     hdr = plan.hdr
     from ..ops.ref.loopfilter import make_thresholds
     (lvl_y, vy, hy), (lvl_uv, vuv, huv) = lfmeta.build_lf_metadata(
         plan.mi, plan.seg_map, hdr)
     mb, lm, hv = make_thresholds(hdr.lf.sharpness_level)
-    thr = np.stack([mb, lm, hv]).astype(np.int32)
+    layout.view(buf, "thr")[:] = np.stack([mb, lm, hv])
+    lvl = layout.view(buf, "lf_lvl")
+    lvl[0] = lvl_y
+    R2, C2 = lvl_uv.shape
+    lvl[1, :R2, :C2] = lvl_uv
+    msk = layout.view(buf, "lf_masks")
+    for k in range(4):
+        msk[0, 0, k] = vy[k]
+        msk[0, 1, k] = hy[k]
+        msk[1, 0, k, :R2, :C2] = vuv[k]
+        msk[1, 1, k, :R2, :C2] = huv[k]
     sbr, sbc = cdiv(hdr.mi_rows, 8), cdiv(hdr.mi_cols, 8)
-    n_waves = caps["lf_waves"]
-    waves = np.full((max(1, n_waves), caps["lf_maxsb"], 2), -32768,
-                    np.int32)
-    for w in range(n_waves):
+    waves = layout.view(buf, "lf_waves")
+    waves[:] = -32768
+    for w in range(caps["lf_waves"]):
         k = 0
         for r in range(sbr):
             c = w - 2 * r
             if 0 <= c < sbc:
                 waves[w, k] = (r, c)
                 k += 1
-    meta_vy = [lvl_y.astype(np.int32)] + list(vy)
-    meta_hy = [lvl_y.astype(np.int32)] + list(hy)
-    meta_vuv = [lvl_uv.astype(np.int32)] + list(vuv)
-    meta_huv = [lvl_uv.astype(np.int32)] + list(huv)
-    lf_on = np.int32(1 if hdr.lf.filter_level else 0)
-    return (meta_vy, meta_hy, meta_vuv, meta_huv, waves, thr, lf_on)
+    return 1 if hdr.lf.filter_level else 0
 
 
-def inter_mask(plan):
+def pack_frame(plan, refs, caps, layout):
+    """Pack one frame into a flat int16 buffer.  Returns None when the
+    tight-tier capacities overflow (caller falls back to host oracle)."""
     hdr = plan.hdr
+    buf = np.zeros(layout.size, np.int16)
+    if not _pack_coeffs(plan, caps, layout, buf, bool(hdr.lossless)):
+        return None
+    if hdr.frame_is_intra_only:
+        nmc = [0, 0, 0]
+    else:
+        nmc = _pack_mc(plan, refs, caps, layout, buf)
+        if nmc is None:
+            return None
+    n_chunks = _pack_intra(plan, caps, layout, buf)
+    if n_chunks is None:
+        return None
+    lf_on = _pack_lf(plan, caps, layout, buf)
     mi = plan.mi
-    ss_x, ss_y = hdr.subsampling_x, hdr.subsampling_y
-    wa = ((hdr.mi_cols + 7) & ~7) * 8
-    ha = ((hdr.mi_rows + 7) & ~7) * 8
-    m = (mi.ref[:, :, 0] > C.INTRA_FRAME) & (mi.skip == 0)
-    mask = np.zeros((3, ha, wa), bool)
-    y8 = np.repeat(np.repeat(m, 8, axis=0), 8, axis=1)
-    mask[0, :y8.shape[0], :y8.shape[1]] = y8
-    cm = np.repeat(np.repeat(m, 8 >> ss_y, axis=0), 8 >> ss_x, axis=1)
-    mask[1, :cm.shape[0], :cm.shape[1]] = cm
-    mask[2, :cm.shape[0], :cm.shape[1]] = cm
-    return mask
+    layout.view(buf, "mi_mask")[:] = \
+        (mi.ref[:, :, 0] > C.INTRA_FRAME) & (mi.skip == 0)
+    misc = layout.view(buf, "misc")
+    misc[0] = nmc[0]
+    misc[1] = nmc[1]
+    misc[2] = nmc[2]
+    misc[3] = n_chunks
+    misc[4] = lf_on
+    for i in range(8):
+        misc[5 + i] = (hdr.refresh_frame_flags >> i) & 1
+    return buf

@@ -40,6 +40,8 @@ class TpuRecon:
     """Reconstruction backend running on the default JAX device."""
 
     def __init__(self, validate_against_oracle: bool = False):
+        from ..utils.jaxcache import enable_persistent_cache
+        enable_persistent_cache()
         import jax
         import jax.numpy as jnp
         from ..ops.device import stages
@@ -271,11 +273,61 @@ class TpuRecon:
         return F
 
 
+class LazyPlanes:
+    """Planes of a device-decoded frame, materialized on first access.
+
+    Output frames live in a device-resident uint8 ring; one D2H fetches
+    RING frames at a time (the tunnel's fixed device->host cost amortizes
+    across the batch).  Accessing any plane of any pending frame flushes
+    the ring for all of them."""
+
+    def __init__(self, recon, slot, ha, wa):
+        self._recon = recon
+        self._slot = slot
+        self._geom = (ha, wa)
+        self._planes = None
+
+    def _set_from_ring(self, row):
+        ha, wa = self._geom
+        hc, wc = ha >> 1, wa >> 1
+        ny, nc = ha * wa, hc * wc
+        self._planes = [
+            row[:ny].reshape(ha, wa).astype(np.uint16),
+            row[ny:ny + nc].reshape(hc, wc).astype(np.uint16),
+            row[ny + nc:ny + 2 * nc].reshape(hc, wc).astype(np.uint16)]
+
+    def _force(self):
+        if self._planes is None:
+            self._recon.flush()
+        return self._planes
+
+    def __getitem__(self, i):
+        return self._force()[i]
+
+    def __len__(self):
+        return 3
+
+    def __iter__(self):
+        return iter(self._force())
+
+
 class TpuReconFused:
     """Fused single-dispatch reconstruction with a device-resident
-    reference pool (runtime/fused.py)."""
+    reference pool (runtime/fused.py).
+
+    Per frame: pack ONE flat int16 tensor (runtime/pack.py), one H2D, one
+    jitted step (residuals + MC + intra + loop filter + pool refresh +
+    output-ring write).  Output planes are returned lazily (LazyPlanes)
+    and fetched RING frames per D2H.  Frames outside the fast path (bd>8,
+    scaled refs, 4:2:2/4:4:4, tight-cap overflow) run on the host oracle,
+    bit-exact, and the affected device pool slots re-sync lazily before
+    their next device use."""
+
+    RING = 8
 
     def __init__(self, validate_against_oracle: bool = False):
+        from ..utils.jaxcache import enable_persistent_cache
+        enable_persistent_cache()
         import jax
         import jax.numpy as jnp
         from . import fused, pack
@@ -288,109 +340,136 @@ class TpuReconFused:
         self._steps = {}
         self._pool = None
         self._pool_geom = None
+        self._slot_dirty = [True] * 8
+        self._ring = None
+        self._ring_slot = 0
+        self._pending = []
         self.frames_on_device = 0
         self.frames_on_host = 0
+        self.profile = False
+        self._t_h2d = 0.0
+        self._t_step = 0.0
+        self._t_d2h = 0.0
+
+    def flush(self):
+        """Materialize all pending ring frames with one D2H."""
+        if not self._pending:
+            self._ring_slot = 0
+            return
+        import time as _time
+        _t0 = _time.time()
+        arr = np.asarray(self._ring)
+        if self.profile:
+            self._t_d2h += _time.time() - _t0
+        for lp in self._pending:
+            lp._set_from_ring(arr[lp._slot])
+        self._pending = []
+        self._ring_slot = 0
 
     def _can_run_on_device(self, plan, refs) -> bool:
         hdr = plan.hdr
         if hdr.bit_depth != 8:
+            return False
+        if hdr.subsampling_x != 1 or hdr.subsampling_y != 1:
             return False
         if not hdr.frame_is_intra_only:
             for rb in refs.values():
                 if rb is None:
                     continue
                 if rb.width != hdr.width or rb.height != hdr.height:
-                    return False
+                    return False  # scaled references: oracle path
         return True
 
-    def _ensure_pool(self, plan, refs):
+    def _ensure_pool(self, plan):
         jnp = self.jnp
         hdr = plan.hdr
         wa = ((hdr.mi_cols + 7) & ~7) * 8
         ha = ((hdr.mi_rows + 7) & ~7) * 8
         geom = (ha, wa)
         if self._pool is None or self._pool_geom != geom:
-            pool = np.zeros((8, 3, ha, wa), np.int32)
-            self._pool = jnp.asarray(pool)
+            self.flush()
+            nout = ha * wa + 2 * ((ha >> 1) * (wa >> 1))
+            self._pool = jnp.zeros((8, 3, ha, wa), jnp.int32)
+            self._ring = jnp.zeros((self.RING, nout), jnp.uint8)
             self._pool_geom = geom
-            self._pool_hostsync = [False] * 8
+            self._slot_dirty = [True] * 8
         return ha, wa
 
-    def _sync_pool_slots(self, decoder_slots):
-        """Push host RefBuffer planes into device pool slots (used after a
-        host-fallback frame or pool (re)creation)."""
+    def _sync_slot(self, i, rb):
+        """Push one host RefBuffer into device pool slot i."""
         jnp = self.jnp
         ha, wa = self._pool_geom
-        for i, rb in enumerate(decoder_slots):
-            if rb is None:
-                continue
-            canvas = np.zeros((3, ha, wa), np.int32)
-            for p in range(3):
-                pl = rb.planes[p]
-                canvas[p, :pl.shape[0], :pl.shape[1]] = pl
-            self._pool = self._pool.at[i].set(jnp.asarray(canvas))
+        canvas = np.zeros((3, ha, wa), np.int32)
+        for p in range(3):
+            pl = rb.planes[p]
+            canvas[p, :pl.shape[0], :pl.shape[1]] = pl
+        self._pool = self._pool.at[i].set(jnp.asarray(canvas))
+        self._slot_dirty[i] = False
+
+    def _mark_host_frame(self, refresh_flags):
+        """A frame was produced on the host: its refreshed device slots
+        are stale until re-synced."""
+        for i in range(8):
+            if refresh_flags & (1 << i):
+                self._slot_dirty[i] = True
 
     def __call__(self, plan, refs):
-        if not self._can_run_on_device(plan, refs):
-            self.frames_on_host += 1
-            planes = ref_recon.reconstruct_frame(plan, refs)
-            self._host_dirty = True
-            return planes
-        self.frames_on_device += 1
-        return self._recon_device(plan, refs)
+        if self._can_run_on_device(plan, refs):
+            planes = self._recon_device(plan, refs)
+            if planes is not None:
+                self.frames_on_device += 1
+                return planes
+        self.frames_on_host += 1
+        planes = ref_recon.reconstruct_frame(plan, refs)
+        self._mark_host_frame(plan.hdr.refresh_frame_flags)
+        return planes
 
     def _recon_device(self, plan, refs):
-        jax, jnp = self.jax, self.jnp
+        jnp = self.jnp
         hdr = plan.hdr
-        ha, wa = self._ensure_pool(plan, refs)
-        if getattr(self, "_host_dirty", True):
-            # first frame or after a host-fallback: sync all live refs
-            slots = [None] * 8
+        tier = "full" if hdr.frame_is_intra_only else "tight"
+        step, caps, layout = self.fused.get_frame_step(
+            hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless))
+
+        ha, wa = self._ensure_pool(plan)
+        if self._ring_slot >= self.RING:
+            self.flush()
+        slot = self._ring_slot
+
+        flat = self.pack.pack_frame(plan, refs, caps, layout)
+        if flat is None:
+            return None  # tight-cap overflow: caller does host fallback
+        layout.view(flat, "misc")[13] = slot
+
+        if not hdr.frame_is_intra_only:
             for k, rb in refs.items():
-                if rb is not None:
-                    slots[hdr.ref_frame_idx[k - 1]] = rb
-            self._sync_pool_slots(slots)
-            self._host_dirty = False
+                if rb is None:
+                    continue
+                rslot = hdr.ref_frame_idx[k - 1]
+                if self._slot_dirty[rslot]:
+                    self._sync_slot(rslot, rb)
 
-        key = (hdr.mi_rows, hdr.mi_cols, bool(hdr.lossless))
-        if key not in self._steps:
-            caps = self.pack.compute_caps(hdr.mi_rows, hdr.mi_cols)
-            self._steps[key] = (self.fused.make_frame_step(
-                hdr.mi_rows, hdr.mi_cols, caps, bool(hdr.lossless)), caps)
-        step, caps = self._steps[key]
-
-        coeff, cpos = self.pack.pack_coeffs(plan, caps)
-        mc4, n4, mc8, n8 = self.pack.pack_mc(plan, refs, caps)
-        # bake pool slot indices into MC tiles
-        slot_map = np.asarray(hdr.ref_frame_idx, np.int32)
-        mc4[:, :, 3] = slot_map[mc4[:, :, 3]]
-        mc8[:, :, 3] = slot_map[mc8[:, :, 3]]
-        chunks, chunk_bs, n_chunks = self.pack.pack_intra(plan, caps)
-        (m_vy, m_hy, m_vuv, m_huv, waves, thr, lf_on) = \
-            self.pack.pack_lf(plan, caps)
-        imask = self.pack.inter_mask(plan)
-
-        A = jnp.asarray
-        F = step(self._pool, self.kernels,
-                 [A(c) for c in coeff], [A(p) for p in cpos],
-                 A(mc4), jnp.int32(n4), A(mc8), jnp.int32(n8),
-                 A(imask), A(chunks), A(chunk_bs), jnp.int32(n_chunks),
-                 [A(m) for m in m_vy], [A(m) for m in m_hy],
-                 [A(m) for m in m_vuv], [A(m) for m in m_huv],
-                 A(waves), A(thr), jnp.int32(lf_on))
-
-        # update device pool slots per refresh flags
+        import time as _time
+        _t0 = _time.time()
+        flat_dev = jnp.asarray(flat)
+        if self.profile:
+            flat_dev.block_until_ready()
+            self._t_h2d += _time.time() - _t0
+            _t0 = _time.time()
+        self._pool, self._ring = step(self._pool, self._ring,
+                                      self.kernels, flat_dev)
+        if self.profile:
+            self._ring.block_until_ready()
+            self._t_step += _time.time() - _t0
         for i in range(8):
             if hdr.refresh_frame_flags & (1 << i):
-                self._pool = self._pool.at[i].set(F)
+                self._slot_dirty[i] = False  # device wrote these slots
 
-        out = np.asarray(F)
-        ss_x, ss_y = hdr.subsampling_x, hdr.subsampling_y
-        hc, wc = ha >> ss_y, wa >> ss_x
-        planes = [out[0].astype(np.uint16),
-                  out[1, :hc, :wc].astype(np.uint16),
-                  out[2, :hc, :wc].astype(np.uint16)]
+        planes = LazyPlanes(self, slot, ha, wa)
+        self._pending.append(planes)
+        self._ring_slot = slot + 1
         if self.validate:
+            self.flush()
             want = ref_recon.reconstruct_frame(plan, refs)
             for p in range(3):
                 if not np.array_equal(planes[p], want[p]):

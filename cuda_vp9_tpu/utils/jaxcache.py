@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache setup.
+
+The fused frame step is a large program (~1-3 min to compile per
+geometry/tier on a remote-compile backend); caching compiled executables
+on disk makes every process after the first start instantly.  Called by
+the device recon backends before their first jit compilation.
+"""
+
+import os
+
+_done = False
+
+
+def enable_persistent_cache():
+    global _done
+    if _done or os.environ.get("CUDA_VP9_TPU_NO_JAX_CACHE"):
+        return
+    _done = True
+    try:
+        import jax
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        d = os.environ.get("CUDA_VP9_TPU_JAX_CACHE",
+                           os.path.join(repo, ".jax_cache"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization; never fail decode for it
