@@ -91,7 +91,10 @@ def _mc_chunk(F, pool, kernels, u, w, h, bd):
 
 
 def _mc_pass(F, pool, kernels, mc_units, n_chunks, w, h, bd):
-    """mc_units [MAXC, CHUNK_MC, 12]; sequential chunks (avg ordering)."""
+    """mc_units [MAXC, CHUNK, 12]; sequential chunks (avg ordering).
+
+    fori_loop with a traced trip count: only the chunks a frame actually
+    fills execute (unrolling over the capacity measured ~2.5x slower)."""
     def body(i, F):
         u = jax.lax.dynamic_index_in_dim(mc_units, i, axis=0,
                                          keepdims=False)

@@ -30,9 +30,9 @@ from . import lfmeta
 from . import plan as planlib
 
 CHUNK_INTRA = 64
-CHUNK_MC4 = 2048
-CHUNK_MC8 = 1024
-CHUNK_MC16 = 512
+CHUNK_MC4 = 1024
+CHUNK_MC8 = 512
+CHUNK_MC16 = 128
 
 _INTRA_MODE_TO_TX_TYPE = np.array(
     [0, 1, 2, 0, 3, 1, 2, 2, 1, 3], np.int32)

@@ -1,4 +1,5 @@
-import time, sys
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', '..'))
 from collections import deque
 import numpy as np
 from cuda_vp9_tpu.containers import IvfReader
