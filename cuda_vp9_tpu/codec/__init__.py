@@ -1,0 +1,287 @@
+"""Public codec API: vpx_codec_* parity (vpx/vpx_decoder.h, vpx_codec.h,
+vpx_image.h semantics, re-expressed as a Python API over the TPU decoder).
+
+Call-shape parity with the reference (SURVEY.md §2 S14/S15):
+
+    ctx = CodecCtx()
+    vpx_codec_dec_init(ctx, vp9_dx(), DecCfg(threads=1), 0)
+    vpx_codec_decode(ctx, frame_bytes, user_priv=None)
+    it = FrameIter()
+    while (img := vpx_codec_get_frame(ctx, it)) is not None:
+        ...  # img.planes / img.stride / img.fmt
+    vpx_codec_destroy(ctx)
+
+vpx_codec_dec_init  -> vpx/src/vpx_decoder.c:24  (vpx_codec_dec_init_ver)
+vpx_codec_decode    -> vpx/src/vpx_decoder.c:104
+vpx_codec_get_frame -> vpx/src/vpx_decoder.c:123
+peek_stream_info    -> vp9/vp9_dx_iface.c (decoder_peek_si_internal)
+controls            -> vpx/vp8dx.h control IDs (subset)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+# --------------------------------------------------------------- error codes
+
+VPX_CODEC_OK = 0
+VPX_CODEC_ERROR = 1
+VPX_CODEC_MEM_ERROR = 2
+VPX_CODEC_ABI_MISMATCH = 3
+VPX_CODEC_INCAPABLE = 4
+VPX_CODEC_UNSUP_BITSTREAM = 5
+VPX_CODEC_UNSUP_FEATURE = 6
+VPX_CODEC_CORRUPT_FRAME = 7
+VPX_CODEC_INVALID_PARAM = 8
+VPX_CODEC_LIST_END = 9
+
+# ----------------------------------------------------------------- img fmts
+
+VPX_IMG_FMT_I420 = 0x102
+VPX_IMG_FMT_I42016 = 0x102 | 0x800  # VPX_IMG_FMT_HIGHBITDEPTH
+
+# ----------------------------------------------------------------- controls
+
+VP8D_GET_FRAME_CORRUPTED = 4
+VP9D_GET_DISPLAY_SIZE = 7
+VP9D_GET_BIT_DEPTH = 8
+VP9D_GET_FRAME_SIZE = 9
+VP9D_SET_ROW_MT = 14
+VP9D_SET_LOOP_FILTER_OPT = 16
+
+
+class CodecError(Exception):
+    def __init__(self, code, msg=""):
+        self.code = code
+        super().__init__(msg or f"vpx_codec error {code}")
+
+
+@dataclasses.dataclass
+class DecCfg:
+    """vpx_codec_dec_cfg_t parity (vpx/vpx_decoder.h:110)."""
+    threads: int = 1
+    w: int = 0
+    h: int = 0
+
+
+@dataclasses.dataclass
+class StreamInfo:
+    """vpx_codec_stream_info_t parity."""
+    w: int = 0
+    h: int = 0
+    is_kf: int = 0
+
+
+class Image:
+    """vpx_image_t parity: planar frame with per-plane strides."""
+
+    def __init__(self, planes, width, height, bit_depth, ss_x, ss_y):
+        self.fmt = VPX_IMG_FMT_I420 if bit_depth == 8 else VPX_IMG_FMT_I42016
+        self.d_w = width
+        self.d_h = height
+        self.bit_depth = bit_depth
+        self.x_chroma_shift = ss_x
+        self.y_chroma_shift = ss_y
+        self.planes = planes  # [Y, U, V] numpy arrays, crop sizes
+        self.stride = [p.shape[1] * p.itemsize for p in planes]
+
+
+class _Vp9DecoderIface:
+    """vpx_codec_vp9_dx_algo parity (vp9/vp9_dx_iface.c:719)."""
+
+    name = "cuda-vp9-tpu VP9 Decoder"
+
+    def make_decoder(self, cfg: DecCfg, use_device: bool):
+        from ..decoder.frame import NativeVp9Decoder, Vp9Decoder
+        recon_fn = None
+        if use_device:
+            try:
+                from ..runtime.pipeline import TpuReconFused
+                recon_fn = TpuReconFused()
+            except Exception:
+                recon_fn = None
+        try:
+            return NativeVp9Decoder(recon_fn=recon_fn), recon_fn
+        except Exception:
+            # native library unavailable: pure-python host parse
+            return Vp9Decoder(recon_fn=recon_fn), recon_fn
+
+
+_VP9_IFACE = _Vp9DecoderIface()
+
+
+def vp9_dx():
+    """vpx_codec_vp9_dx() parity."""
+    return _VP9_IFACE
+
+
+class CodecCtx:
+    """vpx_codec_ctx_t parity."""
+
+    def __init__(self):
+        self.iface = None
+        self.name = None
+        self.err = VPX_CODEC_OK
+        self.err_detail = ""
+        self._dec = None
+        self._recon = None
+        self._frames = []
+        self._corrupted = 0
+        self._last = None
+
+
+class FrameIter:
+    """vpx_codec_iter_t parity (opaque iterator token)."""
+
+    def __init__(self):
+        self.pos = 0
+
+
+def vpx_codec_dec_init(ctx: CodecCtx, iface, cfg: Optional[DecCfg] = None,
+                       flags: int = 0) -> int:
+    """vpx_codec_dec_init_ver parity (vpx/src/vpx_decoder.c:24)."""
+    if ctx is None or iface is None:
+        return VPX_CODEC_INVALID_PARAM
+    cfg = cfg or DecCfg()
+    ctx.iface = iface
+    ctx.name = iface.name
+    use_device = True
+    try:
+        ctx._dec, ctx._recon = iface.make_decoder(cfg, use_device)
+    except Exception as e:  # pragma: no cover
+        ctx.err = VPX_CODEC_MEM_ERROR
+        ctx.err_detail = str(e)
+        return ctx.err
+    ctx.err = VPX_CODEC_OK
+    return VPX_CODEC_OK
+
+
+def vpx_codec_decode(ctx: CodecCtx, data: Optional[bytes],
+                     user_priv=None, deadline: int = 0) -> int:
+    """vpx_codec_decode parity (vpx/src/vpx_decoder.c:104).
+
+    data=None flushes (end of stream), matching the reference's NULL-data
+    convention."""
+    if ctx is None or ctx._dec is None:
+        return VPX_CODEC_INVALID_PARAM
+    if data is None:
+        return VPX_CODEC_OK
+    try:
+        ctx._dec.decode(data)
+    except Exception as e:
+        ctx.err = VPX_CODEC_CORRUPT_FRAME
+        ctx.err_detail = str(e)
+        ctx._corrupted = 1
+        return ctx.err
+    ctx._corrupted = 0
+    for f in ctx._dec.frames():
+        ctx._frames.append((f, user_priv))
+    return VPX_CODEC_OK
+
+
+def vpx_codec_get_frame(ctx: CodecCtx, it: FrameIter) -> Optional[Image]:
+    """vpx_codec_get_frame parity (vpx/src/vpx_decoder.c:123)."""
+    if ctx is None or it is None:
+        return None
+    if it.pos >= len(ctx._frames):
+        ctx._frames = []
+        it.pos = 0
+        return None
+    f, user_priv = ctx._frames[it.pos]
+    it.pos += 1
+    img = Image(f.visible_planes(), f.width, f.height, f.bit_depth,
+                f.ss_x if hasattr(f, "ss_x") else 1,
+                f.ss_y if hasattr(f, "ss_y") else 1)
+    img.user_priv = user_priv
+    ctx._last = img
+    return img
+
+
+def vpx_codec_peek_stream_info(iface, data: bytes,
+                               si: StreamInfo) -> int:
+    """vpx_codec_peek_stream_info parity: parse enough of the uncompressed
+    header to report dimensions/keyframe without decoding
+    (vp9/vp9_dx_iface.c decoder_peek_si_internal)."""
+    from ..decoder.bitreader import BitReader, parse_superframe_index
+    try:
+        frames = parse_superframe_index(data)
+        off, sz = frames[0]
+        r = BitReader(data[off:off + sz])
+        if r.read_literal(2) != 2:  # frame marker
+            return VPX_CODEC_UNSUP_BITSTREAM
+        profile = r.read_bit()
+        profile |= r.read_bit() << 1
+        if profile > 2:
+            profile += r.read_bit()
+        if r.read_bit():  # show_existing_frame
+            si.is_kf = 0
+            return VPX_CODEC_OK
+        frame_type = r.read_bit()
+        r.read_bit()  # show_frame
+        r.read_bit()  # error_resilient
+        si.is_kf = 1 if frame_type == 0 else 0
+        if frame_type == 0:  # key frame
+            if r.read_literal(24) != 0x498342:
+                return VPX_CODEC_UNSUP_BITSTREAM
+            if profile >= 2:
+                r.read_bit()  # ten_or_twelve
+            cs = r.read_literal(3)
+            if cs != 7:  # != SRGB
+                r.read_bit()  # color range
+                if profile in (1, 3):
+                    r.read_literal(3)
+            else:
+                if profile in (1, 3):
+                    r.read_bit()
+            si.w = r.read_literal(16) + 1
+            si.h = r.read_literal(16) + 1
+        return VPX_CODEC_OK
+    except Exception:
+        return VPX_CODEC_UNSUP_BITSTREAM
+
+
+def vpx_codec_get_stream_info(ctx: CodecCtx, si: StreamInfo) -> int:
+    if ctx is None or ctx._dec is None:
+        return VPX_CODEC_INVALID_PARAM
+    last = ctx._last
+    if last is not None:
+        si.w, si.h = last.d_w, last.d_h
+    return VPX_CODEC_OK
+
+
+def vpx_codec_control(ctx: CodecCtx, ctrl_id: int, *args):
+    """vpx_codec_control_ parity for the decoder-control subset."""
+    if ctx is None:
+        return VPX_CODEC_INVALID_PARAM
+    if ctrl_id == VP8D_GET_FRAME_CORRUPTED:
+        return ctx._corrupted
+    if ctrl_id == VP9D_GET_BIT_DEPTH:
+        return ctx._last.bit_depth if ctx._last else 8
+    if ctrl_id in (VP9D_GET_DISPLAY_SIZE, VP9D_GET_FRAME_SIZE):
+        return (ctx._last.d_w, ctx._last.d_h) if ctx._last else (0, 0)
+    if ctrl_id in (VP9D_SET_ROW_MT, VP9D_SET_LOOP_FILTER_OPT):
+        return VPX_CODEC_OK  # scheduling hints: device path decides
+    return VPX_CODEC_INCAPABLE
+
+
+def vpx_codec_destroy(ctx: CodecCtx) -> int:
+    if ctx is None:
+        return VPX_CODEC_INVALID_PARAM
+    ctx._dec = None
+    ctx._frames = []
+    return VPX_CODEC_OK
+
+
+def vpx_codec_error(ctx: CodecCtx) -> str:
+    return {VPX_CODEC_OK: "Success",
+            VPX_CODEC_CORRUPT_FRAME: "Corrupt frame detected",
+            VPX_CODEC_UNSUP_BITSTREAM:
+                "Bitstream not supported by this decoder",
+            }.get(ctx.err, f"error {ctx.err}")
+
+
+def vpx_codec_error_detail(ctx: CodecCtx) -> str:
+    return ctx.err_detail

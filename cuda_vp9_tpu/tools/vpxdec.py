@@ -1,0 +1,118 @@
+"""vpxdec parity: decode IVF VP9 streams via the public codec API.
+
+Reference: libvpx/vpxdec.c (main_loop) — same decode/get_frame loop,
+--md5 per-frame digests (update_image_md5), raw/Y4M output writers.
+
+Usage:
+  python -m cuda_vp9_tpu.tools.vpxdec in.ivf [--md5] [--limit N]
+         [-o out.y4m|out.yuv] [--summary] [--host-recon]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+import time
+
+from ..codec import (CodecCtx, DecCfg, FrameIter, vp9_dx, vpx_codec_decode,
+                     vpx_codec_dec_init, vpx_codec_destroy,
+                     vpx_codec_get_frame)
+from ..containers import IvfReader
+
+
+def _write_y4m_header(f, w, h, bit_depth, fps=(30, 1)):
+    c = "420" if bit_depth == 8 else f"420p{bit_depth}"
+    f.write(f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{c}\n"
+            .encode())
+
+
+def _write_frame(f, img, y4m):
+    if y4m:
+        f.write(b"FRAME\n")
+    for p in img.planes:
+        f.write(p.tobytes())
+
+
+def _md5(img):
+    m = hashlib.md5()
+    for p in img.planes:
+        m.update(p.tobytes())
+    return m.hexdigest()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vpxdec", description=__doc__)
+    ap.add_argument("input")
+    ap.add_argument("--md5", action="store_true",
+                    help="print per-frame MD5 (decode_to_md5 format)")
+    ap.add_argument("--limit", type=int, default=0, metavar="N",
+                    help="stop after N frames")
+    ap.add_argument("-o", "--output", default=None,
+                    help="write frames (.y4m or raw .yuv)")
+    ap.add_argument("--summary", action="store_true",
+                    help="print decode rate summary")
+    ap.add_argument("--host-recon", action="store_true",
+                    help="force the host (numpy) reconstruction path")
+    args = ap.parse_args(argv)
+
+    if args.host_recon:
+        import os
+        os.environ["CUDA_VP9_TPU_HOST_RECON"] = "1"
+
+    ctx = CodecCtx()
+    base = vp9_dx()
+    iface = base
+    if args.host_recon:
+        class _HostIface:
+            name = base.name
+
+            def make_decoder(self, cfg, use_device):
+                return base.make_decoder(cfg, False)
+        iface = _HostIface()
+    if vpx_codec_dec_init(ctx, iface, DecCfg()) != 0:
+        print("failed to init decoder", file=sys.stderr)
+        return 1
+
+    out = None
+    y4m = False
+    n = 0
+    t0 = time.time()
+    with IvfReader(args.input) as r:
+        for data, _pts in r:
+            if vpx_codec_decode(ctx, data) != 0:
+                print(f"decode error: {ctx.err_detail}", file=sys.stderr)
+                return 1
+            it = FrameIter()
+            while True:
+                img = vpx_codec_get_frame(ctx, it)
+                if img is None:
+                    break
+                if args.output and out is None:
+                    y4m = args.output.endswith(".y4m")
+                    out = open(args.output, "wb")
+                    if y4m:
+                        _write_y4m_header(out, img.d_w, img.d_h,
+                                          img.bit_depth)
+                if args.md5:
+                    print(f"{_md5(img)}  img-{img.d_w}x{img.d_h}-"
+                          f"{n + 1:04d}.i420")
+                if out:
+                    _write_frame(out, img, y4m)
+                n += 1
+                if args.limit and n >= args.limit:
+                    break
+            if args.limit and n >= args.limit:
+                break
+    dt = time.time() - t0
+    if out:
+        out.close()
+    if args.summary:
+        print(f"{n} frames in {dt:.2f}s ({n / dt:.2f} fps)",
+              file=sys.stderr)
+    vpx_codec_destroy(ctx)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

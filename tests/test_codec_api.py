@@ -1,0 +1,69 @@
+"""Codec API layer: vpx_codec_* call-shape parity tests
+(the analog of the reference's vpx/ API contract)."""
+
+import hashlib
+
+import pytest
+
+from cuda_vp9_tpu.codec import (CodecCtx, DecCfg, FrameIter, StreamInfo,
+                                VP8D_GET_FRAME_CORRUPTED,
+                                VP9D_GET_BIT_DEPTH, VPX_CODEC_OK,
+                                vp9_dx, vpx_codec_control,
+                                vpx_codec_dec_init, vpx_codec_decode,
+                                vpx_codec_destroy, vpx_codec_get_frame,
+                                vpx_codec_peek_stream_info)
+from cuda_vp9_tpu.containers import IvfReader
+
+from conftest import fixture_streams
+
+FIX = {s[0]: s for s in fixture_streams()}
+
+
+def _host_iface():
+    base = vp9_dx()
+
+    class _HostIface:
+        name = base.name
+
+        def make_decoder(self, cfg, use_device):
+            return base.make_decoder(cfg, False)
+    return _HostIface()
+
+
+def test_init_decode_get_frame_md5():
+    name, ivf, md5 = FIX["kf01_64x64"]
+    golden = [line.split()[0] for line in md5.read_text().splitlines()]
+    ctx = CodecCtx()
+    assert vpx_codec_dec_init(ctx, _host_iface(), DecCfg()) == VPX_CODEC_OK
+    n = 0
+    with IvfReader(str(ivf)) as r:
+        for data, _ in r:
+            assert vpx_codec_decode(ctx, data) == VPX_CODEC_OK
+            it = FrameIter()
+            while (img := vpx_codec_get_frame(ctx, it)) is not None:
+                m = hashlib.md5()
+                for p in img.planes:
+                    m.update(p.tobytes())
+                assert m.hexdigest() == golden[n]
+                n += 1
+    assert n == len(golden)
+    assert vpx_codec_control(ctx, VP9D_GET_BIT_DEPTH) == 8
+    assert vpx_codec_control(ctx, VP8D_GET_FRAME_CORRUPTED) == 0
+    assert vpx_codec_destroy(ctx) == VPX_CODEC_OK
+
+
+def test_peek_stream_info():
+    name, ivf, _ = FIX["kf02_176x144"]
+    with IvfReader(str(ivf)) as r:
+        data = next(iter(r))[0]
+    si = StreamInfo()
+    assert vpx_codec_peek_stream_info(vp9_dx(), data, si) == VPX_CODEC_OK
+    assert (si.w, si.h, si.is_kf) == (176, 144, 1)
+
+
+def test_decode_corrupt_reports_error():
+    ctx = CodecCtx()
+    vpx_codec_dec_init(ctx, _host_iface(), DecCfg())
+    rc = vpx_codec_decode(ctx, b"\x00\x01\x02\x03")
+    assert rc != VPX_CODEC_OK
+    assert vpx_codec_control(ctx, VP8D_GET_FRAME_CORRUPTED) == 1
