@@ -71,7 +71,7 @@ def main():
         for p in packets:
             dec.decode(p)
             q.extend(dec.frames())
-            while len(q) > 8:
+            while len(q) > 32:
                 q.popleft().visible_planes()  # materialize output pixels
                 n += 1
         while q:

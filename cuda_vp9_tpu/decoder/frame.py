@@ -292,7 +292,7 @@ class NativeVp9Decoder:
 
 
 def native_decode_stream_md5(ivf_path: str, max_frames: int = 10 ** 9,
-                             recon_fn=None, lag: int = 8):
+                             recon_fn=None, lag: int = 32):
     """decode_stream_md5 with the native host parser.
 
     Consumes output frames `lag` behind the decode front so a device

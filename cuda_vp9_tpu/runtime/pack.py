@@ -30,9 +30,16 @@ from . import lfmeta
 from . import plan as planlib
 
 CHUNK_INTRA = 64
-CHUNK_MC4 = 1024
-CHUNK_MC8 = 512
-CHUNK_MC16 = 128
+CHUNK_MC4 = 256
+CHUNK_MC8 = 128
+CHUNK_MC16 = 64
+
+
+def band_params(ha):
+    """Row-band geometry for the banded MC kernel: each MC chunk reads
+    one [BR, wa] band of one (slot, plane) canvas (see fused._mc_chunk)."""
+    br = min(160, ha)
+    return br, br - 24
 
 _INTRA_MODE_TO_TX_TYPE = np.array(
     [0, 1, 2, 0, 3, 1, 2, 2, 1, 3], np.int32)
@@ -100,9 +107,13 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         m4_worst = (cells + 2 * (cells // 4)) * 2
         m8_worst = (cells // 4 + 2 * (cells // 16)) * 2
         m16_worst = (cells // 16 + 2 * (cells // 64)) * 2
-        caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, CHUNK_MC4))
-        caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8))
-        caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16))
+        # chunks are (slot, plane, row-band)-homogeneous: add group slack
+        ha = ((mi_rows + 7) & ~7) * 8
+        br, stride = band_params(ha)
+        groups = 2 * 3 * 3 * ((ha - 1) // stride + 1)  # avg x slot x plane
+        caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, CHUNK_MC4) + groups)
+        caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8) + groups)
+        caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
         caps["intra"] = cdiv(total44 // 4, CHUNK_INTRA) + 128
     sbr, sbc = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
     caps["lf_waves"] = 2 * sbr + sbc if sbr * sbc else 0
@@ -137,6 +148,9 @@ def build_layout(caps, mi_rows, mi_cols, lossless) -> FlatLayout:
     L.add("mc4", (caps["mc4"], CHUNK_MC4, 12))
     L.add("mc8", (caps["mc8"], CHUNK_MC8, 12))
     L.add("mc16", (caps["mc16"], CHUNK_MC16, 12))
+    L.add("mc4h", (caps["mc4"], 4))
+    L.add("mc8h", (caps["mc8"], 4))
+    L.add("mc16h", (caps["mc16"], 4))
     L.add("intra", (caps["intra"], CHUNK_INTRA, 9))
     L.add("chunk_bs", (caps["intra"],))
     L.add("mi_mask", (mi_rows, mi_cols))
@@ -288,19 +302,47 @@ def _pack_mc(plan, refs, caps, layout, buf):
                 t[4] = u.x0 + tx
                 t[5] = u.y0 + ty
                 dest.append(t)
+    ha = ((hdr.mi_rows + 7) & ~7) * 8
+    br, stride = band_params(ha)
     nums = []
     for ts, chunk, name in ((4, CHUNK_MC4, "mc4"), (8, CHUNK_MC8, "mc8"),
                             (16, CHUNK_MC16, "mc16")):
-        tl = sorted(tiles[ts], key=lambda t: t[11])  # avg tiles last
-        n = len(tl)
+        # group tiles by (is_avg, slot, plane, row band); every chunk is
+        # homogeneous in (slot, plane, band) so the device kernel reads
+        # one [BR, wa] band slice and filters it on the MXU.  avg groups
+        # come last (dest-overlap ordering).
+        groups = {}
+        for t in tiles[ts]:
+            y0, chh = t[5], t[10]
+            rmin = min(max(y0 - 3, 0), chh - 1)
+            bc = rmin // stride
+            srow = max(0, min(bc * stride, ha - br))
+            key = (t[11], t[3], t[0], srow)
+            groups.setdefault(key, []).append(t)
         arr = layout.view(buf, name)
-        if n > arr.shape[0] * arr.shape[1]:
-            _note_overflow(name, n, arr.shape[0] * arr.shape[1])
-            return None  # overflow -> host fallback
+        hdrarr = layout.view(buf, name + "h")
         arr[:, :, 2] = -32768
-        if n:
-            arr.reshape(-1, 12)[:n] = np.array(tl, np.int16)
-        nums.append(cdiv(n, chunk) if n else 0)
+        ci = 0
+        ok = True
+        for key in sorted(groups):
+            is_avg, slot, plane, srow = key
+            tl = groups[key]
+            for k0 in range(0, len(tl), chunk):
+                if ci >= arr.shape[0]:
+                    ok = False
+                    break
+                part = tl[k0:k0 + chunk]
+                arr[ci, :len(part)] = np.array(part, np.int16)
+                hdrarr[ci, 0] = slot
+                hdrarr[ci, 1] = plane
+                hdrarr[ci, 2] = srow
+                ci += 1
+            if not ok:
+                break
+        if not ok:
+            _note_overflow(name, ci + 1, arr.shape[0])
+            return None  # overflow -> host fallback
+        nums.append(ci)
     return nums
 
 

@@ -323,7 +323,7 @@ class TpuReconFused:
     bit-exact, and the affected device pool slots re-sync lazily before
     their next device use."""
 
-    RING = 8
+    RING = 32
 
     def __init__(self, validate_against_oracle: bool = False):
         from ..utils.jaxcache import enable_persistent_cache

@@ -4,7 +4,7 @@ Reference: libvpx/vpxdec.c (main_loop) — same decode/get_frame loop,
 --md5 per-frame digests (update_image_md5), raw/Y4M output writers.
 
 Usage:
-  python -m cuda_vp9_tpu.tools.vpxdec in.ivf [--md5] [--limit N]
+  python -m cuda_vp9_tpu.tools.vpxdec in.{ivf,webm} [--md5] [--limit N]
          [-o out.y4m|out.yuv] [--summary] [--host-recon]
 """
 
@@ -18,7 +18,7 @@ import time
 from ..codec import (CodecCtx, DecCfg, FrameIter, vp9_dx, vpx_codec_decode,
                      vpx_codec_dec_init, vpx_codec_destroy,
                      vpx_codec_get_frame)
-from ..containers import IvfReader
+from ..containers import open_video
 
 
 def _write_y4m_header(f, w, h, bit_depth, fps=(30, 1)):
@@ -78,7 +78,7 @@ def main(argv=None):
     y4m = False
     n = 0
     t0 = time.time()
-    with IvfReader(args.input) as r:
+    with open_video(args.input) as r:
         for data, _pts in r:
             if vpx_codec_decode(ctx, data) != 0:
                 print(f"decode error: {ctx.err_detail}", file=sys.stderr)

@@ -20,7 +20,7 @@ def run(profile):
     for p in packets:
         dec.decode(p)
         q.extend(dec.frames())
-        while len(q) > 8:
+        while len(q) > 32:
             q.popleft().visible_planes()
             n += 1
     while q:
@@ -30,6 +30,8 @@ def run(profile):
 
 n, dt, _ = run(False)   # warmup/compile
 print(f"warmup: {n} frames {dt:.1f}s", flush=True)
+n, dt, _ = run(False)
+print(f"async timed: {n} frames {dt:.2f}s = {n/dt:.2f} fps", flush=True)
 n, dt, recon = run(True)
 print(f"timed: {n} frames {dt:.2f}s = {n/dt:.2f} fps")
 print(f"  h2d={recon._t_h2d:.2f} step={recon._t_step:.2f} d2h={recon._t_d2h:.2f} other={dt-recon._t_h2d-recon._t_step-recon._t_d2h:.2f}")
