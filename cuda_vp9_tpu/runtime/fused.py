@@ -273,25 +273,26 @@ def _filter_window(W, kind16, kind8, kind4, lim, blim, hevt, bd):
     return out
 
 
-def _lf_wave_tiles(F, sbr, sbc, meta_vy, meta_hy, meta_vuv, meta_huv,
+def _lf_wave_tiles(Fp, sbr, sbc, meta_vy, meta_hy, meta_vuv, meta_huv,
                    thr, bd):
-    """Process one wave of SBs: gather per-SB tiles (with 8px top/left
-    aprons), chain all edge filters inside the tile, scatter back."""
-    N = sbr.shape[0]
-    BIG = jnp.int32(-(1 << 30))
+    """Process one wave of SBs on the apron-padded frame Fp
+    [3, ha+8, wa+8] (content at [8:, 8:]).
 
-    def do_plane(F, plane_ids, meta_v, meta_h, g):
+    Tiles (SB + 8px top/left apron) are CONTIGUOUS in padded coordinates,
+    so gather/scatter become per-tile dynamic_slice / dynamic_update_slice
+    (fast contiguous copies; elementwise gathers don't vectorize on TPU).
+    Padded wave entries (sbr < 0) skip their writeback via lax.cond."""
+    N = sbr.shape[0]
+
+    def do_plane(Fp, p0, P, meta_v, meta_h, g):
         # g = cells per SB side (8 luma, 4 chroma); tile = [g*8+8]^2
         npx = g * 8
-        P = plane_ids.shape[0]  # 1 for luma, 2 for chroma
         ts = npx + 8
-        rr = (sbr * npx)[:, None] - 8 + jnp.arange(ts, dtype=I32)[None, :]
-        cc = (sbc * npx)[:, None] - 8 + jnp.arange(ts, dtype=I32)[None, :]
-        rr_g = jnp.clip(rr, 0, F.shape[1] - 1)
-        cc_g = jnp.clip(cc, 0, F.shape[2] - 1)
-        # [N, P, ts, ts]
-        tile = F[plane_ids[None, :, None, None],
-                 rr_g[:, None, :, None], cc_g[:, None, None, :]]
+        parts = []
+        for n in range(N):
+            parts.append(jax.lax.dynamic_slice(
+                Fp, (p0, sbr[n] * npx, sbc[n] * npx), (P, ts, ts)))
+        tile = jnp.stack(parts)  # [N, P, ts, ts]
 
         def masks_at(meta, cell_r, cell_c):
             lfl, m16, m8, m4, m4i = meta
@@ -340,26 +341,32 @@ def _lf_wave_tiles(F, sbr, sbc, meta_vy, meta_hy, meta_vuv, meta_huv,
             Wt = Wf.reshape(N, P, npx, 16).transpose(0, 1, 3, 2)
             tile = jax.lax.dynamic_update_slice(tile, Wt, (0, 0, j * 8, 8))
 
-        rr_s = jnp.where(rr < 0, BIG, rr)
-        cc_s = jnp.where(cc < 0, BIG, cc)
-        return F.at[plane_ids[None, :, None, None],
-                    rr_s[:, None, :, None],
-                    cc_s[:, None, None, :]].set(tile, mode="drop")
+        for n in range(N):
+            def write(Fp, n=n):
+                return jax.lax.dynamic_update_slice(
+                    Fp, tile[n], (p0, sbr[n] * npx, sbc[n] * npx))
+            Fp = jax.lax.cond(sbr[n] >= 0, write, lambda Fp: Fp, Fp)
+        return Fp
 
-    F = do_plane(F, jnp.array([0], I32), meta_vy, meta_hy, 8)
-    F = do_plane(F, jnp.array([1, 2], I32), meta_vuv, meta_huv, 4)
-    return F
+    Fp = do_plane(Fp, 0, 1, meta_vy, meta_hy, 8)
+    Fp = do_plane(Fp, 1, 2, meta_vuv, meta_huv, 4)
+    return Fp
 
 
 def _lf_pass(F, wave_sbs, n_waves, meta_vy, meta_hy, meta_vuv, meta_huv,
              thr, bd):
-    """fori_loop over SB anti-diagonal waves (w = 2r + c)."""
-    def body(w, F):
+    """fori_loop over SB anti-diagonal waves (w = 2r + c) on an
+    apron-padded copy of F."""
+    ha, wa = F.shape[1], F.shape[2]
+    Fp = jnp.zeros((3, ha + 8, wa + 8), F.dtype).at[:, 8:, 8:].set(F)
+
+    def body(w, Fp):
         sbs = jax.lax.dynamic_index_in_dim(wave_sbs, w, axis=0,
                                            keepdims=False)
-        return _lf_wave_tiles(F, sbs[:, 0], sbs[:, 1], meta_vy, meta_hy,
+        return _lf_wave_tiles(Fp, sbs[:, 0], sbs[:, 1], meta_vy, meta_hy,
                               meta_vuv, meta_huv, thr, bd)
-    return jax.lax.fori_loop(0, n_waves, body, F)
+    Fp = jax.lax.fori_loop(0, n_waves, body, Fp)
+    return Fp[:, 8:, 8:]
 
 
 # ----------------------------------------------------------------- frame step
