@@ -104,6 +104,34 @@ def _wrap(ptr, shape, dtype):
     return buf.view(dtype).reshape(shape)
 
 
+class _LazyBlocks:
+    """List-of-BlockRecord view over the raw [B, 5] block array.
+
+    The vectorized packer uses plan.blocks_arr directly; the object list
+    is only materialized if someone iterates plan.blocks (oracle paths)."""
+
+    def __init__(self, arr):
+        self._arr = arr
+        self._list = None
+
+    def _mat(self):
+        if self._list is None:
+            self._list = [BlockRecord(*row) for row in self._arr.tolist()]
+        return self._list
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __len__(self):
+        return self._arr.shape[0]
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __bool__(self):
+        return self._arr.shape[0] > 0
+
+
 class ShowExisting:
     def __init__(self, idx):
         self.frame_to_show = idx
@@ -192,7 +220,11 @@ class NativeParser:
                          seg_map=_wrap(out.seg_map, (R, Cc), np.uint8))
         blocks = _wrap(out.blocks, (out.n_blocks, 5), np.int32) \
             if out.n_blocks else np.zeros((0, 5), np.int32)
-        plan.blocks = [BlockRecord(*row) for row in blocks.tolist()]
+        # copy: zero-copy views die at the next parse(), but block lists
+        # are retained by deferred pack/recon work
+        blocks = blocks.copy()
+        plan.blocks_arr = blocks  # [B, 5] (mi_row, mi_col, bsize, bwl, bhl)
+        plan.blocks = _LazyBlocks(blocks)
         plan.eob_maps = []
         plan.coeff_off_maps = []
         plan.coeffs = []

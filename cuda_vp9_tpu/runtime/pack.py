@@ -270,38 +270,162 @@ def _pack_coeffs(plan, caps, layout, buf, lossless):
     return True
 
 
-def _pack_mc(plan, refs, caps, layout, buf):
-    ref_sizes = {k: (rb.width, rb.height) if rb else None
-                 for k, rb in refs.items()}
-    units = planlib.build_mc_units(plan, ref_sizes)
+def _blocks_arr(plan):
+    arr = getattr(plan, "blocks_arr", None)
+    if arr is None:
+        arr = np.array([[b.mi_row, b.mi_col, b.bsize, b.bwl, b.bhl]
+                        for b in plan.blocks], np.int32).reshape(-1, 5)
+    return arr
+
+
+def _mc_tiles_vectorized(plan, refs, slot_map):
+    """Emit MC tile rows [n, 12] per tile class, vectorized over blocks
+    (dec_build_inter_predictors parity for the unscaled fast path; the
+    pipeline falls back to the host oracle for scaled references, so only
+    same-size refs reach here).  Sub-8x8 blocks (split MVs with averaged
+    chroma) go through the per-block reference path."""
+    from ..ops.ref import inter as ref_inter
     hdr = plan.hdr
-    slot_map = np.asarray(hdr.ref_frame_idx, np.int32)
-    tiles = {4: [], 8: [], 16: []}
+    mi = plan.mi
+    ss = (hdr.subsampling_x, hdr.subsampling_y)
+    blocks = _blocks_arr(plan)
+    out = {4: [], 8: [], 16: []}
+    if not len(blocks):
+        return out
+    br, bc, bs, bwl, bhl = (blocks[:, i] for i in range(5))
+    ref0 = mi.ref[br, bc, 0].astype(np.int32)
+    inter = ref0 > C.INTRA_FRAME
+    big = bs >= C.BLOCK_8X8
     crop = {}
     for k, rb in refs.items():
         if rb is None:
             continue
         for p in range(3):
-            sx = hdr.subsampling_x if p else 0
-            sy = hdr.subsampling_y if p else 0
+            sx = ss[0] if p else 0
+            sy = ss[1] if p else 0
             crop[(k - 1, p)] = ((rb.width + sx) >> sx,
                                 (rb.height + sy) >> sy)
-    for u in units:
-        cw, ch_ = crop[(u.ref_slot, u.plane)]
-        pool_slot = int(slot_map[u.ref_slot])
-        base = [u.plane, 0, 0, pool_slot, 0, 0, u.subpel_x, u.subpel_y,
-                u.filter, cw, ch_, u.is_avg]
-        ts = 16 if (u.w >= 16 and u.h >= 16) else \
-            8 if (u.w >= 8 and u.h >= 8) else 4
-        dest = tiles[ts]
-        for ty in range(0, u.h, ts):
-            for tx in range(0, u.w, ts):
-                t = list(base)
-                t[1] = u.dx + tx
-                t[2] = u.dy + ty
-                t[4] = u.x0 + tx
-                t[5] = u.y0 + ty
-                dest.append(t)
+
+    # ---- vectorized path: >= 8x8 blocks
+    sel0 = inter & big
+    if sel0.any():
+        compound = mi.ref[br, bc, 1].astype(np.int32) > C.INTRA_FRAME
+        filt = mi.interp_filter[br, bc].astype(np.int32)
+        for ref_i in range(2):
+            sel = sel0 if ref_i == 0 else (sel0 & compound)
+            if not sel.any():
+                continue
+            idx = np.nonzero(sel)[0]
+            r, c = br[idx], bc[idx]
+            rf = mi.ref[r, c, ref_i].astype(np.int32)
+            mv = mi.mv[r, c, ref_i].astype(np.int64)  # [n, 2] (row, col)
+            for plane in range(3):
+                sx = ss[0] if plane else 0
+                sy = ss[1] if plane else 0
+                w = (4 << bwl[idx]) >> sx
+                h = (4 << bhl[idx]) >> sy
+                dx = (c * 8) >> sx
+                dy = (r * 8) >> sy
+                scol = mv[:, 1] << (1 - sx)
+                srow = mv[:, 0] << (1 - sy)
+                x0 = dx + (scol >> 4)
+                y0 = dy + (srow >> 4)
+                spx = scol & 15
+                spy = srow & 15
+                cwl = np.empty(len(idx), np.int64)
+                chl = np.empty(len(idx), np.int64)
+                for k in (1, 2, 3):
+                    if (k - 1, plane) in crop:
+                        m = rf == k
+                        cwl[m], chl[m] = crop[(k - 1, plane)]
+                rows = np.stack([
+                    np.full(len(idx), plane, np.int64), dx, dy,
+                    slot_map[rf - 1], x0, y0, spx, spy, filt[idx],
+                    cwl, chl, np.full(len(idx), ref_i, np.int64)], axis=1)
+                # expand into tiles per (w, h) shape class
+                for ww, hh in set(zip(w.tolist(), h.tolist())):
+                    m = (w == ww) & (h == hh)
+                    ts = 16 if (ww >= 16 and hh >= 16) else \
+                        8 if (ww >= 8 and hh >= 8) else 4
+                    sub = rows[m]
+                    ny, nx = hh // ts, ww // ts
+                    k = ny * nx
+                    rep = np.repeat(sub, k, axis=0)
+                    oy, ox = np.meshgrid(np.arange(ny) * ts,
+                                         np.arange(nx) * ts, indexing="ij")
+                    offs = np.stack([ox.ravel(), oy.ravel()], 1)  # [k, 2]
+                    offs = np.tile(offs, (sub.shape[0], 1))
+                    rep[:, 1] += offs[:, 0]
+                    rep[:, 2] += offs[:, 1]
+                    rep[:, 4] += offs[:, 0]
+                    rep[:, 5] += offs[:, 1]
+                    out[ts].append(rep)
+
+    # ---- sub-8x8 blocks (split MVs), vectorized per (bwl, bhl) combo.
+    # The fused path is 4:2:0-only, so chroma MVs are the 4-way average
+    # (average_split_mvs ss 1,1; vp9_reconinter.c).
+    sel = inter & ~big
+    if sel.any():
+        assert ss == (1, 1), "fused pack is 4:2:0-only"
+        idx_all = np.nonzero(sel)[0]
+        compound = mi.ref[br, bc, 1].astype(np.int32) > C.INTRA_FRAME
+        filt_all = mi.interp_filter[br, bc].astype(np.int64)
+
+        def round_q4(v):
+            q = np.where(v >= 0, v + 2, v - 2)
+            return np.where(q >= 0, q // 4, -((-q) // 4))
+
+        for wl, hl in set(zip(bwl[idx_all].tolist(), bhl[idx_all].tolist())):
+            for ref_i in range(2):
+                m = sel & (bwl == wl) & (bhl == hl)
+                if ref_i:
+                    m &= compound
+                if not m.any():
+                    continue
+                idx = np.nonzero(m)[0]
+                r, c = br[idx], bc[idx]
+                rf = mi.ref[r, c, ref_i].astype(np.int64)
+                filt = filt_all[idx]
+                bmv = mi.bmi_mv[r, c, :, ref_i].astype(np.int64)  # [n,4,2]
+                for plane in range(3):
+                    sx = 1 if plane else 0
+                    sy = 1 if plane else 0
+                    n4w = (1 << wl) >> sx
+                    n4h = (1 << hl) >> sy
+                    cwl = np.empty(len(idx), np.int64)
+                    chl = np.empty(len(idx), np.int64)
+                    for k in (1, 2, 3):
+                        if (k - 1, plane) in crop:
+                            mk = rf == k
+                            cwl[mk], chl[mk] = crop[(k - 1, plane)]
+                    for y in range(n4h):
+                        for x in range(n4w):
+                            if plane:
+                                mvv = round_q4(bmv.sum(axis=1))  # [n, 2]
+                            else:
+                                mvv = bmv[:, y * 2 + x]
+                            dx = ((c * 8) >> sx) + 4 * x
+                            dy = ((r * 8) >> sy) + 4 * y
+                            scol = mvv[:, 1] << (1 - sx)
+                            srow = mvv[:, 0] << (1 - sy)
+                            out[4].append(np.stack([
+                                np.full(len(idx), plane, np.int64),
+                                dx, dy, slot_map[rf - 1],
+                                dx + (scol >> 4), dy + (srow >> 4),
+                                scol & 15, srow & 15, filt, cwl, chl,
+                                np.full(len(idx), ref_i, np.int64)],
+                                axis=1))
+    return out
+
+
+def _pack_mc(plan, refs, caps, layout, buf):
+    hdr = plan.hdr
+    slot_map = np.asarray(hdr.ref_frame_idx, np.int64)
+    groups_np = _mc_tiles_vectorized(plan, refs, slot_map)
+    tiles = {}
+    for ts in (4, 8, 16):
+        tiles[ts] = np.concatenate(groups_np[ts]) if groups_np[ts] \
+            else np.zeros((0, 12), np.int64)
     ha = ((hdr.mi_rows + 7) & ~7) * 8
     br, stride = band_params(ha)
     nums = []
@@ -311,31 +435,34 @@ def _pack_mc(plan, refs, caps, layout, buf):
         # homogeneous in (slot, plane, band) so the device kernel reads
         # one [BR, wa] band slice and filters it on the MXU.  avg groups
         # come last (dest-overlap ordering).
-        groups = {}
-        for t in tiles[ts]:
-            y0, chh = t[5], t[10]
-            rmin = min(max(y0 - 3, 0), chh - 1)
-            bc = rmin // stride
-            srow = max(0, min(bc * stride, ha - br))
-            key = (t[11], t[3], t[0], srow)
-            groups.setdefault(key, []).append(t)
+        tl = tiles[ts]
         arr = layout.view(buf, name)
         hdrarr = layout.view(buf, name + "h")
         arr[:, :, 2] = -32768
+        n = tl.shape[0]
+        if n == 0:
+            nums.append(0)
+            continue
+        rmin = np.clip(tl[:, 5] - 3, 0, tl[:, 10] - 1)
+        srow = np.clip((rmin // stride) * stride, 0, ha - br)
+        order = np.lexsort((srow, tl[:, 0], tl[:, 3], tl[:, 11]))
+        tl = tl[order]
+        srow = srow[order]
+        gkey = ((tl[:, 11] * 8 + tl[:, 3]) * 4 + tl[:, 0]) * 8192 + srow
+        starts = np.nonzero(np.r_[True, gkey[1:] != gkey[:-1]])[0]
+        ends = np.r_[starts[1:], n]
         ci = 0
         ok = True
-        for key in sorted(groups):
-            is_avg, slot, plane, srow = key
-            tl = groups[key]
-            for k0 in range(0, len(tl), chunk):
+        for s, e in zip(starts, ends):
+            for k0 in range(s, e, chunk):
                 if ci >= arr.shape[0]:
                     ok = False
                     break
-                part = tl[k0:k0 + chunk]
-                arr[ci, :len(part)] = np.array(part, np.int16)
-                hdrarr[ci, 0] = slot
-                hdrarr[ci, 1] = plane
-                hdrarr[ci, 2] = srow
+                part = tl[k0:min(k0 + chunk, e)]
+                arr[ci, :len(part)] = part
+                hdrarr[ci, 0] = tl[s, 3]
+                hdrarr[ci, 1] = tl[s, 0]
+                hdrarr[ci, 2] = srow[s]
                 ci += 1
             if not ok:
                 break

@@ -270,6 +270,8 @@ def build_intra_units(plan: FramePlan) -> Tuple[List[IntraUnit], int]:
     mi = plan.mi
     ss_x, ss_y = hdr.subsampling_x, hdr.subsampling_y
     units: List[IntraUnit] = []
+    if not np.any(mi.ref[:, :, 0] <= C.INTRA_FRAME):
+        return units, 0  # no intra blocks: skip the per-block scan
     # per-plane wave map in 4x4 units
     wave_maps = [np.zeros(((hdr.mi_rows * 2) >> (ss_y if p else 0),
                            (hdr.mi_cols * 2) >> (ss_x if p else 0)),
@@ -277,7 +279,16 @@ def build_intra_units(plan: FramePlan) -> Tuple[List[IntraUnit], int]:
     num_waves = 0
     tile_starts = _tile_col_starts(hdr)
 
-    for blk in plan.blocks:
+    blocks = plan.blocks
+    arr = getattr(plan, "blocks_arr", None)
+    if arr is not None and len(arr):
+        # iterate only intra-coded blocks (inter blocks never touch the
+        # wave maps): big win on inter frames with sparse intra content
+        keep = mi.ref[arr[:, 0], arr[:, 1], 0] <= C.INTRA_FRAME
+        from ..decoder.blockd import BlockRecord
+        blocks = [BlockRecord(*row) for row in arr[keep].tolist()]
+
+    for blk in blocks:
         mi_row, mi_col = blk.mi_row, blk.mi_col
         if mi.ref[mi_row, mi_col, 0] > C.INTRA_FRAME:
             continue
