@@ -1,0 +1,45 @@
+"""Multi-stream batched decode (SURVEY P7): interleaved streams decode
+bit-exactly and share compiled steps."""
+
+import hashlib
+
+import pytest
+
+from cuda_vp9_tpu.containers import IvfReader
+from cuda_vp9_tpu.runtime.multistream import MultiStreamDecoder
+from cuda_vp9_tpu.utils.md5 import frame_md5
+
+from conftest import fixture_streams
+
+FIX = {s[0]: s for s in fixture_streams()}
+
+
+@pytest.mark.slow
+def test_two_streams_interleaved():
+    # slow: first run compiles the fused step for two geometries (cached
+    # in .jax_cache afterwards)
+    names = ["kf01_64x64", "kf03_odd_98x66"]
+    packets = []
+    goldens = []
+    for nm in names:
+        _, ivf, md5 = FIX[nm]
+        with IvfReader(str(ivf)) as r:
+            packets.append([d for d, _ in r])
+        goldens.append([line.split()[0]
+                        for line in md5.read_text().splitlines()])
+
+    msd = MultiStreamDecoder(n_streams=2, lag=2)
+    got = [[], []]
+    rounds = max(len(p) for p in packets)
+    for i in range(rounds):
+        for s in range(2):
+            if i < len(packets[s]):
+                msd.put(s, packets[s][i])
+        for s, f in msd.ready():
+            got[s].append(frame_md5(f.visible_planes()))
+    for s, f in msd.flush():
+        got[s].append(frame_md5(f.visible_planes()))
+    for s in range(2):
+        assert got[s] == goldens[s][:len(got[s])]
+        assert len(got[s]) == len(goldens[s])
+    assert all(st["device"] + st["host"] > 0 for st in msd.stats())
