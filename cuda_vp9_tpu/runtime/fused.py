@@ -52,7 +52,9 @@ def _residual_pass(R, coeffs, pos, tx_size, lossless, bd):
         # per-unit tx_type, selected at the 1-D pass level (4 passes total)
         resid = T.inv_txfm2d_select(coeffs, tx_size, pos[:, 3], bd,
                                     xp=jnp, work_dtype=I32)
-    rows = pos[:, 1][:, None, None] + jnp.arange(n, dtype=I32)[None, :, None]
+    # y stored +1: zero entries are padding (zero-page elision)
+    y0 = jnp.where(pos[:, 1] == 0, -(1 << 20), pos[:, 1] - 1)
+    rows = y0[:, None, None] + jnp.arange(n, dtype=I32)[None, :, None]
     cols = pos[:, 2][:, None, None] + jnp.arange(n, dtype=I32)[None, None, :]
     return R.at[pos[:, 0][:, None, None], rows, cols].set(
         resid.astype(I32), mode="drop")
@@ -75,7 +77,9 @@ def _mc_chunk(F, pool, kernels, hd, u, w, h, br, bd):
     matmuls ride the MXU)."""
     N = u.shape[0]
     wa = F.shape[2]
-    plane, dx, dy = u[:, 0], u[:, 1], u[:, 2]
+    plane, dx = u[:, 0], u[:, 1]
+    # dy stored +1: zero entries are padding (zero-page elision)
+    dy = jnp.where(u[:, 2] == 0, -(1 << 20), u[:, 2] - 1)
     x0, y0, spx, spy = u[:, 4], u[:, 5], u[:, 6], u[:, 7]
     filt, cw, chh, avg = u[:, 8], u[:, 9], u[:, 10], u[:, 11]
     ih = h + 7
@@ -140,9 +144,11 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, w, h, br, bd):
 
 
 def _intra_chunk(F, R, u, bs, bd):
-    """u: [CHUNK, 9] = plane,x0,y0,mode,n_above,n_left,tl_mode,hup,hleft."""
+    """u: [CHUNK, 9] = plane,x0,y0+1,mode,n_above,n_left,tl_mode,hup,
+    hleft (y0 stored +1: zero entries are padding)."""
+    y0 = jnp.where(u[:, 2] == 0, jnp.int32(-32768), u[:, 2] - 1)
     return stages.intra_wave.__wrapped__(
-        F, R, u[:, 0], u[:, 1], u[:, 2], u[:, 3], u[:, 4], u[:, 5],
+        F, R, u[:, 0], u[:, 1], y0, u[:, 3], u[:, 4], u[:, 5],
         u[:, 6], u[:, 7], u[:, 8], bs=bs, bd=bd)
 
 
@@ -363,7 +369,10 @@ def _lf_pass(F, wave_sbs, n_waves, meta_vy, meta_hy, meta_vuv, meta_huv,
     def body(w, Fp):
         sbs = jax.lax.dynamic_index_in_dim(wave_sbs, w, axis=0,
                                            keepdims=False)
-        return _lf_wave_tiles(Fp, sbs[:, 0], sbs[:, 1], meta_vy, meta_hy,
+        # coords stored +1: zero entries are padding
+        sbr = jnp.where(sbs[:, 0] == 0, jnp.int32(-32768), sbs[:, 0] - 1)
+        sbc = jnp.where(sbs[:, 1] == 0, jnp.int32(-32768), sbs[:, 1] - 1)
+        return _lf_wave_tiles(Fp, sbr, sbc, meta_vy, meta_hy,
                               meta_vuv, meta_huv, thr, bd)
     Fp = jax.lax.fori_loop(0, n_waves, body, Fp)
     return Fp[:, 8:, 8:]
@@ -373,22 +382,37 @@ def _lf_pass(F, wave_sbs, n_waves, meta_vy, meta_hy, meta_vuv, meta_huv,
 
 
 def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
-                    layout, lossless: bool, bd: int = 8):
+                    layout, lossless: bool, bd: int = 8,
+                    pages_tier: int = 0):
     """Build the jitted fused step for one frame geometry.
 
-    step(pool, kernels, flat) -> (new_pool, out_u8)
+    step(pool, ring, kernels, flat_or_pages) -> (new_pool, new_ring)
       pool    [8, 3, ha, wa] int32 device-resident reference pool (donated)
-      flat    [layout.size]  int16 packed frame (pack.pack_frame)
-      out_u8  flat uint8: Y plane [ha*wa] ++ U ++ V quarter planes
-    The reference-pool refresh (refresh_frame_flags) happens in-step so a
-    frame is exactly one dispatch, one H2D and one D2H transfer.
+      ring    [RING, nout] uint8 output ring (donated; slot = misc[13])
+      flat    [K*PAGE] int16 packed frame (pack.pack_frame), OR — when
+              pages_tier > 0 — a compacted [hdr_rows + tier, PAGE] int16
+              upload whose zero pages were elided (header rows carry page
+              indices as (low15, high) pairs; see pipeline._upload)
+    The reference-pool refresh (refresh_frame_flags) and the page
+    expansion happen in-step so a frame is exactly one dispatch and one
+    H2D transfer (plus one batched D2H per RING frames).
     """
+    from .pack import PAGE
     ha = ((mi_rows + 7) & ~7) * 8
     wa = ((mi_cols + 7) & ~7) * 8
     R2, C2 = cdiv(mi_rows, 2), cdiv(mi_cols, 2)
+    K = cdiv(layout.size, PAGE)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(pool, ring, kernels, flat):
+        if pages_tier:
+            hr = cdiv(2 * pages_tier, PAGE)
+            h = flat[:hr].reshape(-1)[:2 * pages_tier].astype(
+                I32).reshape(pages_tier, 2)
+            idx = h[:, 0] + (h[:, 1] << 15)
+            z = jnp.zeros((K, PAGE), jnp.int16)
+            flat = z.at[idx].set(flat[hr:], mode="drop").reshape(-1)
+
         def seg(name, dtype=I32):
             off, shape = layout.segs[name]
             n = int(np.prod(shape))
@@ -466,13 +490,14 @@ _STEP_CACHE = {}
 
 
 def get_frame_step(mi_rows: int, mi_cols: int, tier: str, lossless: bool,
-                   bd: int = 8):
+                   bd: int = 8, pages_tier: int = 0):
     """Cached (step, caps, layout) for one frame-geometry/cap-tier key."""
     from . import pack
-    key = (mi_rows, mi_cols, tier, lossless, bd)
+    key = (mi_rows, mi_cols, tier, lossless, bd, pages_tier)
     if key not in _STEP_CACHE:
         caps = pack.compute_caps(mi_rows, mi_cols, tier, lossless)
         layout = pack.build_layout(caps, mi_rows, mi_cols, lossless)
-        step = make_frame_step(mi_rows, mi_cols, caps, layout, lossless, bd)
+        step = make_frame_step(mi_rows, mi_cols, caps, layout, lossless,
+                               bd, pages_tier)
         _STEP_CACHE[key] = (step, caps, layout)
     return _STEP_CACHE[key]

@@ -240,7 +240,6 @@ def _pack_coeffs(plan, caps, layout, buf, lossless):
         assigned[idx] = True
         cm = layout.view(buf, f"coeff_{name}")
         pm = layout.view(buf, f"cpos_{name}")
-        pm[:, 1] = -32768
         if len(idx) == 0:
             continue
         offs = A["off"][idx]
@@ -261,7 +260,9 @@ def _pack_coeffs(plan, caps, layout, buf, lossless):
             return False
         cm[:len(idx)] = vals
         pm[:len(idx), 0] = pl
-        pm[:len(idx), 1] = A["y"][idx] * 4
+        # y is stored +1 so a zero entry means "inactive" and all-zero
+        # pages can be elided from the host->device transfer
+        pm[:len(idx), 1] = A["y"][idx] * 4 + 1
         pm[:len(idx), 2] = A["x"][idx] * 4
         pm[:len(idx), 3] = tts
     if not assigned.all():
@@ -339,7 +340,7 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
                         m = rf == k
                         cwl[m], chl[m] = crop[(k - 1, plane)]
                 rows = np.stack([
-                    np.full(len(idx), plane, np.int64), dx, dy,
+                    np.full(len(idx), plane, np.int64), dx, dy + 1,
                     slot_map[rf - 1], x0, y0, spx, spy, filt[idx],
                     cwl, chl, np.full(len(idx), ref_i, np.int64)], axis=1)
                 # expand into tiles per (w, h) shape class
@@ -410,7 +411,7 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
                             srow = mvv[:, 0] << (1 - sy)
                             out[4].append(np.stack([
                                 np.full(len(idx), plane, np.int64),
-                                dx, dy, slot_map[rf - 1],
+                                dx, dy + 1, slot_map[rf - 1],
                                 dx + (scol >> 4), dy + (srow >> 4),
                                 scol & 15, srow & 15, filt, cwl, chl,
                                 np.full(len(idx), ref_i, np.int64)],
@@ -438,7 +439,6 @@ def _pack_mc(plan, refs, caps, layout, buf):
         tl = tiles[ts]
         arr = layout.view(buf, name)
         hdrarr = layout.view(buf, name + "h")
-        arr[:, :, 2] = -32768
         n = tl.shape[0]
         if n == 0:
             nums.append(0)
@@ -510,12 +510,11 @@ def _pack_intra(plan, caps, layout, buf):
         else:
             tl_mode = 2
         bs_idx = {4: 0, 8: 1, 16: 2, 32: 3}[bs]
-        rows.append((u.wave, bs_idx, u.plane, u.x0, u.y0, u.mode, n_above,
-                     n_left, tl_mode, u.have_up, u.have_left))
+        rows.append((u.wave, bs_idx, u.plane, u.x0, u.y0 + 1, u.mode,
+                     n_above, n_left, tl_mode, u.have_up, u.have_left))
     cap = caps["intra"]
     chunks = layout.view(buf, "intra")
     chunk_bs = layout.view(buf, "chunk_bs")
-    chunks[:, :, 2] = -32768
     if not rows:
         return 0
     rows.sort(key=lambda t: (t[0], t[1]))
@@ -557,22 +556,26 @@ def _pack_lf(plan, caps, layout, buf):
         msk[1, 1, k, :R2, :C2] = huv[k]
     sbr, sbc = cdiv(hdr.mi_rows, 8), cdiv(hdr.mi_cols, 8)
     waves = layout.view(buf, "lf_waves")
-    waves[:] = -32768
     for w in range(caps["lf_waves"]):
         k = 0
         for r in range(sbr):
             c = w - 2 * r
             if 0 <= c < sbc:
-                waves[w, k] = (r, c)
+                waves[w, k] = (r + 1, c + 1)  # +1: zero entry = padded
                 k += 1
     return 1 if hdr.lf.filter_level else 0
 
 
+PAGE = 2048  # int16 elements per transfer page (4 KB)
+
+
 def pack_frame(plan, refs, caps, layout):
-    """Pack one frame into a flat int16 buffer.  Returns None when the
-    tight-tier capacities overflow (caller falls back to host oracle)."""
+    """Pack one frame into a flat int16 buffer (padded to a PAGE multiple;
+    zero pages are elided from the host->device transfer).  Returns None
+    when the tight-tier capacities overflow (caller falls back to the
+    host oracle)."""
     hdr = plan.hdr
-    buf = np.zeros(layout.size, np.int16)
+    buf = np.zeros(cdiv(layout.size, PAGE) * PAGE, np.int16)
     if not _pack_coeffs(plan, caps, layout, buf, bool(hdr.lossless)):
         return None
     if hdr.frame_is_intra_only:

@@ -36,6 +36,13 @@ def _pad_pow2(n, lo=16):
     return p
 
 
+def _pages_tier(K):
+    """Page budget for the compacted upload of a K-page flat buffer
+    (0 = always ship dense)."""
+    t = _pad_pow2(max(16, K // 8))
+    return t if t * 4 <= K * 3 else 0
+
+
 class TpuRecon:
     """Reconstruction backend running on the default JAX device."""
 
@@ -406,6 +413,33 @@ class TpuReconFused:
         self._pool = self._pool.at[i].set(jnp.asarray(canvas))
         self._slot_dirty[i] = False
 
+    def _compact(self, flat):
+        """Compact a packed frame by eliding all-zero 4KB pages (the flat
+        buffer is capacity-padded; typical frames fill 10-20% of it).
+        The page scatter runs inside the frame step (a separate expander
+        program would break async dispatch pipelining).  Returns None if
+        the frame is too dense for the geometry's page tier."""
+        PAGE = self.pack.PAGE
+        K = flat.size // PAGE
+        tier = _pages_tier(K)
+        pg = flat.reshape(K, PAGE)
+        nz = np.flatnonzero(pg.any(axis=1))
+        if not tier or len(nz) > tier:
+            return None  # dense frame: caller ships the whole buffer
+        tier = tier  # fixed per geometry: one compiled paged step
+        # compacted upload: header rows carry the page indices as
+        # (low15, high) int16 pairs, then the non-zero pages.  Unused
+        # index slots decode to a huge positive value and drop at the
+        # in-step scatter.
+        hr = (2 * tier + PAGE - 1) // PAGE
+        comb = np.zeros((hr + tier, PAGE), np.int16)
+        head = comb[:hr].reshape(-1)
+        head[0:2 * len(nz):2] = nz & 0x7FFF
+        head[1:2 * len(nz):2] = nz >> 15
+        head[2 * len(nz):2 * tier] = 0x7FFF
+        comb[hr:hr + len(nz)] = pg[nz]
+        return comb
+
     def _mark_host_frame(self, refresh_flags):
         """A frame was produced on the host: its refreshed device slots
         are stale until re-synced."""
@@ -430,6 +464,8 @@ class TpuReconFused:
         tier = "full" if hdr.frame_is_intra_only else "tight"
         step, caps, layout = self.fused.get_frame_step(
             hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless))
+        K = (layout.size + self.pack.PAGE - 1) // self.pack.PAGE
+        ptier = _pages_tier(K)
 
         ha, wa = self._ensure_pool(plan)
         if self._ring_slot >= self.RING:
@@ -451,7 +487,14 @@ class TpuReconFused:
 
         import time as _time
         _t0 = _time.time()
-        flat_dev = jnp.asarray(flat)
+        comb = self._compact(flat) if ptier else None
+        if comb is not None:
+            step, _, _ = self.fused.get_frame_step(
+                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless),
+                pages_tier=ptier)
+            flat_dev = jnp.asarray(comb)
+        else:
+            flat_dev = jnp.asarray(flat)
         if self.profile:
             flat_dev.block_until_ready()
             self._t_h2d += _time.time() - _t0
