@@ -8,9 +8,10 @@ import __graft_entry__ as ge
 
 def test_entry_compiles():
     fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    out.block_until_ready()
-    assert out.shape == (3, 128, 128)
+    pool, ring = jax.jit(fn)(*args)
+    jax.block_until_ready((pool, ring))
+    assert pool.shape == (8, 3, 64, 64)
+    assert ring.shape[0] == 32
 
 
 def test_dryrun_multichip_8():
