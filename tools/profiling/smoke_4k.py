@@ -1,6 +1,9 @@
 import sys, time
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+import os
+_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+sys.path.insert(0, _root)
+sys.path.insert(0, os.path.join(_root, "tools"))
+os.chdir(_root)
 import make_fixtures, subprocess, os
 os.makedirs(".bench", exist_ok=True)
 ivf = ".bench/bench_3840x2176.ivf"

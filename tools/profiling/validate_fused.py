@@ -1,3 +1,6 @@
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', '..'))
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', '..'))
 import os, glob, sys
 from cuda_vp9_tpu.decoder.frame import native_decode_stream_md5
 from cuda_vp9_tpu.runtime.pipeline import TpuReconFused
