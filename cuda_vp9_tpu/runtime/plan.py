@@ -272,10 +272,13 @@ def build_intra_units(plan: FramePlan) -> Tuple[List[IntraUnit], int]:
     units: List[IntraUnit] = []
     if not np.any(mi.ref[:, :, 0] <= C.INTRA_FRAME):
         return units, 0  # no intra blocks: skip the per-block scan
-    # per-plane wave map in 4x4 units
-    wave_maps = [np.zeros(((hdr.mi_rows * 2) >> (ss_y if p else 0),
-                           (hdr.mi_cols * 2) >> (ss_x if p else 0)),
-                          np.int32) for p in range(3)]
+    # per-plane wave map in 4x4 units (plain lists: the per-unit reads
+    # and writes are tiny, where numpy call overhead dominates)
+    wave_maps = []
+    for p in range(3):
+        h = (hdr.mi_rows * 2) >> (ss_y if p else 0)
+        w = (hdr.mi_cols * 2) >> (ss_x if p else 0)
+        wave_maps.append([[0] * w for _ in range(h)])
     num_waves = 0
     tile_starts = _tile_col_starts(hdr)
 
@@ -309,7 +312,7 @@ def build_intra_units(plan: FramePlan) -> Tuple[List[IntraUnit], int]:
             sx = ss_x if plane else 0
             sy = ss_y if plane else 0
             wmap = wave_maps[plane]
-            H4, W4 = wmap.shape
+            H4, W4 = len(wmap), len(wmap[0])
             tx = int(M.UV_TXSIZE_LOOKUP[bsize][tx_y][sx][sy]) if plane \
                 else tx_y
             n4_w = (1 << bwl) >> sx
@@ -341,13 +344,20 @@ def build_intra_units(plan: FramePlan) -> Tuple[List[IntraUnit], int]:
                     if have_up and y4 > 0:
                         xr = min(W4, x4 + 2 * step + 1)
                         xl = max(0, x4 - 1)
-                        w = max(w, int(wmap[y4 - 1, xl:xr].max()))
+                        w = max(wmap[y4 - 1][xl:xr])
                     if have_left and x4 > 0:
                         yl = min(H4, y4 + step)
-                        w = max(w, int(wmap[y4:yl, x4 - 1].max()))
+                        xm = x4 - 1
+                        for yy in range(y4, yl):
+                            v = wmap[yy][xm]
+                            if v > w:
+                                w = v
                     wave = w + 1
-                    num_waves = max(num_waves, wave)
-                    wmap[y4:y4 + step, x4:x4 + step] = wave
+                    if wave > num_waves:
+                        num_waves = wave
+                    fill = [wave] * step
+                    for yy in range(y4, y4 + step):
+                        wmap[yy][x4:x4 + step] = fill
                     units.append(IntraUnit(
                         plane, x4 * 4, y4 * 4, 4 << tx, mode,
                         int(have_up), int(have_left), int(have_right),
