@@ -76,17 +76,31 @@ class StreamInfo:
 
 
 class Image:
-    """vpx_image_t parity: planar frame with per-plane strides."""
+    """vpx_image_t parity: planar frame with per-plane strides.
 
-    def __init__(self, planes, width, height, bit_depth, ss_x, ss_y):
+    Pixel planes materialize lazily: with the TPU backend, frames live in
+    a device-resident output ring and are fetched in batches; touching
+    .planes (or .stride) forces the fetch."""
+
+    def __init__(self, frame, width, height, bit_depth, ss_x, ss_y):
         self.fmt = VPX_IMG_FMT_I420 if bit_depth == 8 else VPX_IMG_FMT_I42016
         self.d_w = width
         self.d_h = height
         self.bit_depth = bit_depth
         self.x_chroma_shift = ss_x
         self.y_chroma_shift = ss_y
-        self.planes = planes  # [Y, U, V] numpy arrays, crop sizes
-        self.stride = [p.shape[1] * p.itemsize for p in planes]
+        self._frame = frame
+        self._planes = None
+
+    @property
+    def planes(self):
+        if self._planes is None:
+            self._planes = self._frame.visible_planes()
+        return self._planes
+
+    @property
+    def stride(self):
+        return [p.shape[1] * p.itemsize for p in self.planes]
 
 
 class _Vp9DecoderIface:
@@ -192,7 +206,7 @@ def vpx_codec_get_frame(ctx: CodecCtx, it: FrameIter) -> Optional[Image]:
         return None
     f, user_priv = ctx._frames[it.pos]
     it.pos += 1
-    img = Image(f.visible_planes(), f.width, f.height, f.bit_depth,
+    img = Image(f, f.width, f.height, f.bit_depth,
                 f.ss_x if hasattr(f, "ss_x") else 1,
                 f.ss_y if hasattr(f, "ss_y") else 1)
     img.user_priv = user_priv

@@ -74,36 +74,43 @@ def main(argv=None):
         print("failed to init decoder", file=sys.stderr)
         return 1
 
+    from collections import deque
     out = None
     y4m = False
     n = 0
-    t0 = time.time()
+    q = deque()  # consume 32 behind decode: keeps the TPU output ring
+    t0 = time.time()  # batched (Image planes are lazy)
+
+    def consume(img):
+        nonlocal out, y4m, n
+        if args.output and out is None:
+            y4m = args.output.endswith(".y4m")
+            out = open(args.output, "wb")
+            if y4m:
+                _write_y4m_header(out, img.d_w, img.d_h, img.bit_depth)
+        if args.md5:
+            print(f"{_md5(img)}  img-{img.d_w}x{img.d_h}-"
+                  f"{n + 1:04d}.i420")
+        if out:
+            _write_frame(out, img, y4m)
+        n += 1
+
     with open_video(args.input) as r:
         for data, _pts in r:
             if vpx_codec_decode(ctx, data) != 0:
                 print(f"decode error: {ctx.err_detail}", file=sys.stderr)
                 return 1
             it = FrameIter()
-            while True:
-                img = vpx_codec_get_frame(ctx, it)
-                if img is None:
-                    break
-                if args.output and out is None:
-                    y4m = args.output.endswith(".y4m")
-                    out = open(args.output, "wb")
-                    if y4m:
-                        _write_y4m_header(out, img.d_w, img.d_h,
-                                          img.bit_depth)
-                if args.md5:
-                    print(f"{_md5(img)}  img-{img.d_w}x{img.d_h}-"
-                          f"{n + 1:04d}.i420")
-                if out:
-                    _write_frame(out, img, y4m)
-                n += 1
+            while (img := vpx_codec_get_frame(ctx, it)) is not None:
+                q.append(img)
+            while len(q) > 32:
+                consume(q.popleft())
                 if args.limit and n >= args.limit:
                     break
             if args.limit and n >= args.limit:
                 break
+    while q and not (args.limit and n >= args.limit):
+        consume(q.popleft())
     dt = time.time() - t0
     if out:
         out.close()
