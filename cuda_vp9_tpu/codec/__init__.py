@@ -234,12 +234,11 @@ def vpx_codec_peek_stream_info(iface, data: bytes,
             si.is_kf = 0
             return VPX_CODEC_OK
         frame_type = r.read_bit()
-        r.read_bit()  # show_frame
-        r.read_bit()  # error_resilient
+        show_frame = r.read_bit()
+        error_resilient = r.read_bit()
         si.is_kf = 1 if frame_type == 0 else 0
-        if frame_type == 0:  # key frame
-            if r.read_literal(24) != 0x498342:
-                return VPX_CODEC_UNSUP_BITSTREAM
+
+        def _skip_bitdepth_colorspace():
             if profile >= 2:
                 r.read_bit()  # ten_or_twelve
             cs = r.read_literal(3)
@@ -250,8 +249,29 @@ def vpx_codec_peek_stream_info(iface, data: bytes,
             else:
                 if profile in (1, 3):
                     r.read_bit()
+
+        if frame_type == 0:  # key frame
+            if r.read_literal(24) != 0x498342:
+                return VPX_CODEC_UNSUP_BITSTREAM
+            _skip_bitdepth_colorspace()
             si.w = r.read_literal(16) + 1
             si.h = r.read_literal(16) + 1
+        else:
+            # intra-only branch of decoder_peek_si_internal
+            # (vp9/vp9_dx_iface.c:141-170): non-shown intra frames carry a
+            # sync code, optional bitdepth/colorspace, refresh flags and a
+            # frame size.
+            intra_only = 0 if show_frame else r.read_bit()
+            if not error_resilient:
+                r.read_literal(2)  # reset_frame_context
+            if intra_only:
+                if r.read_literal(24) != 0x498342:
+                    return VPX_CODEC_UNSUP_BITSTREAM
+                if profile > 0:
+                    _skip_bitdepth_colorspace()
+                r.read_literal(8)  # refresh_frame_flags
+                si.w = r.read_literal(16) + 1
+                si.h = r.read_literal(16) + 1
         return VPX_CODEC_OK
     except Exception:
         return VPX_CODEC_UNSUP_BITSTREAM

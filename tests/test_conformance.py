@@ -8,7 +8,8 @@ import os
 
 import pytest
 
-from cuda_vp9_tpu.decoder.frame import decode_stream_md5
+from cuda_vp9_tpu.decoder.frame import (decode_stream_md5,
+                                        native_decode_stream_md5)
 
 from conftest import fixture_streams
 
@@ -22,6 +23,20 @@ def test_md5_match_fast(name, ivf, md5):
     n = 0
     for i, digest in decode_stream_md5(str(ivf), max_frames=FAST_FRAMES):
         assert digest == golden[i], f"{name} frame {i} MD5 mismatch"
+        n += 1
+    assert n > 0
+
+
+@pytest.mark.parametrize("name,ivf,md5", fixture_streams(),
+                         ids=[s[0] for s in fixture_streams()])
+def test_native_md5_match_fast(name, ivf, md5):
+    """The C++ parser is the decoder the public codec API prefers — gate
+    its bitstream correctness in the default (fast) tier, NumPy recon."""
+    golden = [line.split()[0] for line in md5.read_text().splitlines()]
+    n = 0
+    for i, digest in native_decode_stream_md5(str(ivf),
+                                              max_frames=FAST_FRAMES):
+        assert digest == golden[i], f"{name} frame {i} MD5 mismatch (native)"
         n += 1
     assert n > 0
 
