@@ -165,217 +165,10 @@ def _intra_pass(F, R, chunks, chunk_bs, n_chunks, bd):
 
 
 # ----------------------------------------------------------------- loop filter
-
-def _lf_masks_w(W, lim, blim, hevt, bd):
-    p3, p2, p1, p0 = W[..., 4], W[..., 5], W[..., 6], W[..., 7]
-    q0, q1, q2, q3 = W[..., 8], W[..., 9], W[..., 10], W[..., 11]
-    sh = bd - 8
-    limit = lim << sh
-    blimit = blim << sh
-    mask = ~((jnp.abs(p3 - p2) > limit) | (jnp.abs(p2 - p1) > limit)
-             | (jnp.abs(p1 - p0) > limit) | (jnp.abs(q1 - q0) > limit)
-             | (jnp.abs(q2 - q1) > limit) | (jnp.abs(q3 - q2) > limit)
-             | (jnp.abs(p0 - q0) * 2 + (jnp.abs(p1 - q1) >> 1) > blimit))
-    hev = (jnp.abs(p1 - p0) > (hevt << sh)) | \
-        (jnp.abs(q1 - q0) > (hevt << sh))
-    ft = 1 << sh
-    flat = ~((jnp.abs(p1 - p0) > ft) | (jnp.abs(q1 - q0) > ft)
-             | (jnp.abs(p2 - p0) > ft) | (jnp.abs(q2 - q0) > ft)
-             | (jnp.abs(p3 - p0) > ft) | (jnp.abs(q3 - q0) > ft))
-    return mask, hev, flat
-
-
-def _lf_flat2(W, bd):
-    p0, q0 = W[..., 7], W[..., 8]
-    ft = 1 << (bd - 8)
-    f = jnp.zeros(p0.shape, bool)
-    for k in range(4):
-        f = f | (jnp.abs(W[..., k] - p0) > ft) \
-              | (jnp.abs(W[..., 15 - k] - q0) > ft)
-    return ~f
-
-
-def _filter4_vals(W, mask, hev, bd):
-    off = 0x80 << (bd - 8)
-    lo, hi = -off, off - 1
-    ps1, ps0 = W[..., 6] - off, W[..., 7] - off
-    qs0, qs1 = W[..., 8] - off, W[..., 9] - off
-    f = jnp.clip(ps1 - qs1, lo, hi)
-    f = jnp.where(hev, f, 0)
-    f = jnp.where(mask, jnp.clip(f + 3 * (qs0 - ps0), lo, hi), 0)
-    f1 = jnp.clip(f + 4, lo, hi) >> 3
-    f2 = jnp.clip(f + 3, lo, hi) >> 3
-    oq0 = jnp.clip(qs0 - f1, lo, hi) + off
-    op0 = jnp.clip(ps0 + f2, lo, hi) + off
-    fo = jnp.where(hev, 0, (f1 + 1) >> 1)
-    oq1 = jnp.clip(qs1 - fo, lo, hi) + off
-    op1 = jnp.clip(ps1 + fo, lo, hi) + off
-    return op1, op0, oq0, oq1
-
-
-def _filter_window4(W, kind4, lim, blim, hevt, bd):
-    """filter4-only window (interior 4x4 edges): the flat/flat2 wide-filter
-    paths never apply, so skip building them."""
-    mask, hev, _flat = _lf_masks_w(W, lim, blim, hevt, bd)
-    mask = mask & kind4
-    op1, op0, oq0, oq1 = _filter4_vals(W, mask, hev, bd)
-    out = W
-    out = out.at[..., 6].set(jnp.where(mask, op1, W[..., 6]))
-    out = out.at[..., 7].set(jnp.where(mask, op0, W[..., 7]))
-    out = out.at[..., 8].set(jnp.where(mask, oq0, W[..., 8]))
-    out = out.at[..., 9].set(jnp.where(mask, oq1, W[..., 9]))
-    return out
-
-
-def _filter_window(W, kind16, kind8, kind4, lim, blim, hevt, bd):
-    """Filter a [..., 16] window across the edge (at index 8) given
-    per-row one-hot filter-kind flags.  Returns the new window."""
-    mask, hev, flat = _lf_masks_w(W, lim, blim, hevt, bd)
-    anyk = kind16 | kind8 | kind4
-    mask = mask & anyk
-    # filter4 values
-    op1, op0, oq0, oq1 = _filter4_vals(W, mask, hev, bd)
-    out = W
-    out = out.at[..., 6].set(jnp.where(mask, op1, W[..., 6]))
-    out = out.at[..., 7].set(jnp.where(mask, op0, W[..., 7]))
-    out = out.at[..., 8].set(jnp.where(mask, oq0, W[..., 8]))
-    out = out.at[..., 9].set(jnp.where(mask, oq1, W[..., 9]))
-    # filter8 (7-tap) on flat & mask & (kind8|kind16)
-    sel8 = flat & mask & (kind8 | kind16)
-    p3, p2, p1, p0 = W[..., 4], W[..., 5], W[..., 6], W[..., 7]
-    q0, q1, q2, q3 = W[..., 8], W[..., 9], W[..., 10], W[..., 11]
-    vals8 = [
-        (p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3,
-        (p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3,
-        (p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3,
-        (p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3,
-        (p1 + p0 + q0 + 2 * q1 + q2 + q3 + q3 + 4) >> 3,
-        (p0 + q0 + q1 + 2 * q2 + q3 + q3 + q3 + 4) >> 3,
-    ]
-    for k, v in zip(range(5, 11), vals8):
-        out = out.at[..., k].set(jnp.where(sel8, v, out[..., k]))
-    # filter16 (15-tap) on flat2 & flat & mask & kind16
-    flat2 = _lf_flat2(W, bd)
-    sel16 = flat2 & flat & mask & kind16
-    p = [W[..., 7 - k] for k in range(8)]
-    q = [W[..., 8 + k] for k in range(8)]
-    for i in range(7):
-        s = p[7] * (i + 1) + p[i] * 2
-        for k in range(7):
-            if k != i:
-                s = s + p[k]
-        for k in range(7 - i):
-            s = s + q[k]
-        out = out.at[..., 7 - i].set(
-            jnp.where(sel16, (s + 8) >> 4, out[..., 7 - i]))
-        s = q[7] * (i + 1) + q[i] * 2
-        for k in range(7):
-            if k != i:
-                s = s + q[k]
-        for k in range(7 - i):
-            s = s + p[k]
-        out = out.at[..., 8 + i].set(
-            jnp.where(sel16, (s + 8) >> 4, out[..., 8 + i]))
-    return out
-
-
-def _lf_wave_tiles(Fp, sbr, sbc, meta_vy, meta_hy, meta_vuv, meta_huv,
-                   thr, bd):
-    """Process one wave of SBs on the apron-padded frame Fp
-    [3, ha+8, wa+8] (content at [8:, 8:]).
-
-    Tiles (SB + 8px top/left apron) are CONTIGUOUS in padded coordinates,
-    so gather/scatter become per-tile dynamic_slice / dynamic_update_slice
-    (fast contiguous copies; elementwise gathers don't vectorize on TPU).
-    Padded wave entries (sbr < 0) skip their writeback via lax.cond."""
-    N = sbr.shape[0]
-
-    def do_plane(Fp, p0, P, meta_v, meta_h, g):
-        # g = cells per SB side (8 luma, 4 chroma); tile = [g*8+8]^2
-        npx = g * 8
-        ts = npx + 8
-        parts = []
-        for n in range(N):
-            parts.append(jax.lax.dynamic_slice(
-                Fp, (p0, sbr[n] * npx, sbc[n] * npx), (P, ts, ts)))
-        tile = jnp.stack(parts)  # [N, P, ts, ts]
-
-        def masks_at(meta, cell_r, cell_c):
-            lfl, m16, m8, m4, m4i = meta
-            rc = jnp.clip(cell_r, 0, lfl.shape[0] - 1)
-            cl = jnp.clip(cell_c, 0, lfl.shape[1] - 1)
-            valid = (cell_r >= 0) & (cell_r < lfl.shape[0])                 & (cell_c >= 0) & (cell_c < lfl.shape[1])
-            lv = lfl[rc, cl]
-            return (m16[rc, cl] & valid, m8[rc, cl] & valid,
-                    m4[rc, cl] & valid, m4i[rc, cl] & valid,
-                    thr[0][lv], thr[1][lv], thr[2][lv])
-
-        # vertical edges
-        for i in range(g):
-            cell_r = sbr[:, None] * g + jnp.arange(g, dtype=I32)[None, :]
-            cell_c = (sbc * g + i)[:, None]
-            k16, k8, k4, k4i, mb, lm, hv = masks_at(
-                meta_v, cell_r, jnp.broadcast_to(cell_c, cell_r.shape))
-            W = jax.lax.dynamic_slice(
-                tile, (0, 0, 8, i * 8), (N, P, npx, 16))
-            W = W.reshape(N, P, g, 8, 16)
-            e2 = lambda a: a[:, None, :, None]
-            Wf = _filter_window(W, e2(k16), e2(k8), e2(k4), e2(lm), e2(mb),
-                                e2(hv), bd)
-            Wi = jnp.zeros_like(Wf)
-            Wi = Wi.at[..., 4:12].set(Wf[..., 8:16])
-            Wif = _filter_window4(Wi, e2(k4i), e2(lm), e2(mb), e2(hv), bd)
-            Wf = Wf.at[..., 10:14].set(Wif[..., 6:10])
-            tile = jax.lax.dynamic_update_slice(
-                tile, Wf.reshape(N, P, npx, 16), (0, 0, 8, i * 8))
-        # horizontal edges
-        for j in range(g):
-            cell_r = (sbr * g + j)[:, None]
-            cell_c = sbc[:, None] * g + jnp.arange(g, dtype=I32)[None, :]
-            k16, k8, k4, k4i, mb, lm, hv = masks_at(
-                meta_h, jnp.broadcast_to(cell_r, cell_c.shape), cell_c)
-            W = jax.lax.dynamic_slice(
-                tile, (0, 0, j * 8, 8), (N, P, 16, npx))
-            W = W.transpose(0, 1, 3, 2).reshape(N, P, g, 8, 16)
-            e2 = lambda a: a[:, None, :, None]
-            Wf = _filter_window(W, e2(k16), e2(k8), e2(k4), e2(lm), e2(mb),
-                                e2(hv), bd)
-            Wi = jnp.zeros_like(Wf)
-            Wi = Wi.at[..., 4:12].set(Wf[..., 8:16])
-            Wif = _filter_window4(Wi, e2(k4i), e2(lm), e2(mb), e2(hv), bd)
-            Wf = Wf.at[..., 10:14].set(Wif[..., 6:10])
-            Wt = Wf.reshape(N, P, npx, 16).transpose(0, 1, 3, 2)
-            tile = jax.lax.dynamic_update_slice(tile, Wt, (0, 0, j * 8, 8))
-
-        for n in range(N):
-            def write(Fp, n=n):
-                return jax.lax.dynamic_update_slice(
-                    Fp, tile[n], (p0, sbr[n] * npx, sbc[n] * npx))
-            Fp = jax.lax.cond(sbr[n] >= 0, write, lambda Fp: Fp, Fp)
-        return Fp
-
-    Fp = do_plane(Fp, 0, 1, meta_vy, meta_hy, 8)
-    Fp = do_plane(Fp, 1, 2, meta_vuv, meta_huv, 4)
-    return Fp
-
-
-def _lf_pass(F, wave_sbs, n_waves, meta_vy, meta_hy, meta_vuv, meta_huv,
-             thr, bd):
-    """fori_loop over SB anti-diagonal waves (w = 2r + c) on an
-    apron-padded copy of F."""
-    ha, wa = F.shape[1], F.shape[2]
-    Fp = jnp.zeros((3, ha + 8, wa + 8), F.dtype).at[:, 8:, 8:].set(F)
-
-    def body(w, Fp):
-        sbs = jax.lax.dynamic_index_in_dim(wave_sbs, w, axis=0,
-                                           keepdims=False)
-        # coords stored +1: zero entries are padding
-        sbr = jnp.where(sbs[:, 0] == 0, jnp.int32(-32768), sbs[:, 0] - 1)
-        sbc = jnp.where(sbs[:, 1] == 0, jnp.int32(-32768), sbs[:, 1] - 1)
-        return _lf_wave_tiles(Fp, sbr, sbc, meta_vy, meta_hy,
-                              meta_vuv, meta_huv, thr, bd)
-    Fp = jax.lax.fori_loop(0, n_waves, body, Fp)
-    return Fp[:, 8:, 8:]
+# The deblocking pass is a Pallas TPU kernel (ops/pallas/loopfilter.py):
+# sequential row-band groups resident in VMEM, batched anti-diagonal steps,
+# masks expanded cell->pixel via one-hot MXU matmuls.  Interpret mode keeps
+# the identical code path running under the CPU backend for CI.
 
 
 # ----------------------------------------------------------------- frame step
@@ -456,18 +249,11 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         mask = mask.at[2, :mi_rows * 4, :mi_cols * 4].set(c4)
         F = jnp.where(mask, jnp.clip(F + R, 0, (1 << bd) - 1), F)
         F = _intra_pass(F, R, seg("intra"), seg("chunk_bs"), misc[3], bd)
-        # loop filter
-        lvl = seg("lf_lvl")
-        msk = seg("lf_masks", jnp.bool_)
-        meta_vy = (lvl[0],) + tuple(msk[0, 0, k] for k in range(4))
-        meta_hy = (lvl[0],) + tuple(msk[0, 1, k] for k in range(4))
-        meta_vuv = (lvl[1, :R2, :C2],) + tuple(
-            msk[1, 0, k, :R2, :C2] for k in range(4))
-        meta_huv = (lvl[1, :R2, :C2],) + tuple(
-            msk[1, 1, k, :R2, :C2] for k in range(4))
-        waves = seg("lf_waves")
-        F = _lf_pass(F, waves, misc[4] * waves.shape[0],
-                     meta_vy, meta_hy, meta_vuv, meta_huv, seg("thr"), bd)
+        # loop filter (pallas kernel; interpret under the CPU backend)
+        from ..ops.pallas.loopfilter import lf_frame
+        F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
+                     mi_rows=mi_rows, mi_cols=mi_cols, bd=bd,
+                     interpret=jax.default_backend() == "cpu")
         # in-step reference-pool refresh
         refresh = misc[5:13]
         pool = jnp.where(refresh[:, None, None, None] > 0, F[None], pool)

@@ -115,9 +115,6 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8) + groups)
         caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
         caps["intra"] = cdiv(total44 // 4, CHUNK_INTRA) + 128
-    sbr, sbc = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
-    caps["lf_waves"] = 2 * sbr + sbc if sbr * sbc else 0
-    caps["lf_maxsb"] = min(sbr, cdiv(sbc + 1, 2)) + 1
     return caps
 
 
@@ -154,10 +151,12 @@ def build_layout(caps, mi_rows, mi_cols, lossless) -> FlatLayout:
     L.add("intra", (caps["intra"], CHUNK_INTRA, 9))
     L.add("chunk_bs", (caps["intra"],))
     L.add("mi_mask", (mi_rows, mi_cols))
-    L.add("lf_lvl", (2, mi_rows, mi_cols))
-    L.add("lf_masks", (2, 2, 4, mi_rows, mi_cols))
-    L.add("lf_waves", (max(1, caps["lf_waves"]), caps["lf_maxsb"], 2))
-    L.add("thr", (3, 64))
+    # packed loop-filter metadata for the pallas kernel
+    # (ops/pallas/loopfilter.pack_lfm_fields layout)
+    from ..ops.pallas.loopfilter import K as LF_K
+    sb_rows, sb_cols = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
+    n_sbs_pad = cdiv(sb_rows, LF_K) * LF_K * sb_cols
+    L.add("lfm", (n_sbs_pad, 8, 128))
     L.add("misc", (16,))
     return L
 
@@ -539,31 +538,16 @@ def _pack_intra(plan, caps, layout, buf):
 
 def _pack_lf(plan, caps, layout, buf):
     hdr = plan.hdr
+    if not hdr.lf.filter_level:
+        return 0
     from ..ops.ref.loopfilter import make_thresholds
+    from ..ops.pallas.loopfilter import pack_lfm_fields
     (lvl_y, vy, hy), (lvl_uv, vuv, huv) = lfmeta.build_lf_metadata(
         plan.mi, plan.seg_map, hdr)
-    mb, lm, hv = make_thresholds(hdr.lf.sharpness_level)
-    layout.view(buf, "thr")[:] = np.stack([mb, lm, hv])
-    lvl = layout.view(buf, "lf_lvl")
-    lvl[0] = lvl_y
-    R2, C2 = lvl_uv.shape
-    lvl[1, :R2, :C2] = lvl_uv
-    msk = layout.view(buf, "lf_masks")
-    for k in range(4):
-        msk[0, 0, k] = vy[k]
-        msk[0, 1, k] = hy[k]
-        msk[1, 0, k, :R2, :C2] = vuv[k]
-        msk[1, 1, k, :R2, :C2] = huv[k]
-    sbr, sbc = cdiv(hdr.mi_rows, 8), cdiv(hdr.mi_cols, 8)
-    waves = layout.view(buf, "lf_waves")
-    for w in range(caps["lf_waves"]):
-        k = 0
-        for r in range(sbr):
-            c = w - 2 * r
-            if 0 <= c < sbc:
-                waves[w, k] = (r + 1, c + 1)  # +1: zero entry = padded
-                k += 1
-    return 1 if hdr.lf.filter_level else 0
+    thr = make_thresholds(hdr.lf.sharpness_level)
+    layout.view(buf, "lfm")[:] = pack_lfm_fields(
+        lvl_y, vy, hy, lvl_uv, vuv, huv, thr, hdr.mi_rows, hdr.mi_cols)
+    return 1
 
 
 PAGE = 2048  # int16 elements per transfer page (4 KB)
