@@ -68,6 +68,26 @@ class _PlanOut(ct.Structure):
     ]
 
 
+class _PackIn(ct.Structure):
+    _fields_ = [
+        ("total_len", ct.c_int64),
+        ("lossless", ct.c_int32), ("ring_slot", ct.c_int32),
+        ("ha", ct.c_int32), ("lf_k", ct.c_int32),
+        ("coeff_off", ct.c_int64 * 7), ("cpos_off", ct.c_int64 * 7),
+        ("coeff_cap", ct.c_int64 * 7),
+        ("mc_off", ct.c_int64 * 3), ("mch_off", ct.c_int64 * 3),
+        ("mc_cap", ct.c_int64 * 3),
+        ("intra_off", ct.c_int64), ("chunkbs_off", ct.c_int64),
+        ("intra_cap", ct.c_int64),
+        ("mimask_off", ct.c_int64), ("lfm_off", ct.c_int64),
+        ("misc_off", ct.c_int64),
+        ("crop", ((ct.c_int32 * 2) * 3) * 3),
+    ]
+
+
+_COEFF_NAMES = ("tx0", "tx1", "tx2s", "tx2d", "tx3s", "tx3m", "tx3d")
+
+
 _lib = None
 
 
@@ -95,7 +115,28 @@ def _load():
         _lib.vp9h_parse.restype = ct.c_int
         _lib.vp9h_parse.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int64,
                                     ct.POINTER(_PlanOut)]
+        _lib.vp9h_pack.restype = ct.c_int64
+        _lib.vp9h_pack.argtypes = [ct.c_void_p, ct.POINTER(_PackIn),
+                                   ct.POINTER(ct.c_int16)]
+        _lib.vp9h_compact.restype = ct.c_int64
+        _lib.vp9h_compact.argtypes = [ct.POINTER(ct.c_int16), ct.c_int64,
+                                      ct.c_int64, ct.POINTER(ct.c_int16)]
     return _lib
+
+
+def native_compact(flat: np.ndarray, n_pages: int, tier: int):
+    """Zero-page compaction in C++ (mirrors TpuReconFused._compact).
+    Returns the compacted [hr + tier, PAGE] int16 array or None (dense)."""
+    lib = _load()
+    PAGE = 2048
+    hr = (2 * tier + PAGE - 1) // PAGE
+    out = np.empty((hr + tier, PAGE), np.int16)
+    nz = lib.vp9h_compact(
+        flat.ctypes.data_as(ct.POINTER(ct.c_int16)), n_pages, tier,
+        out.ctypes.data_as(ct.POINTER(ct.c_int16)))
+    if nz < 0:
+        return None
+    return out
 
 
 def _wrap(ptr, shape, dtype):
@@ -143,11 +184,75 @@ class NativeParser:
     def __init__(self):
         self._lib = _load()
         self._h = self._lib.vp9h_create()
+        self._last_plan = None
+        self._packin_cache = {}
 
     def __del__(self):
         if getattr(self, "_h", None):
             self._lib.vp9h_destroy(self._h)
             self._h = None
+
+    def _packin(self, caps, layout, lossless, mi_rows):
+        """Static-per-layout PackIn template (crop/slot filled per call)."""
+        key = id(layout)
+        pi = self._packin_cache.get(key)
+        if pi is None:
+            from ..ops.pallas.loopfilter import K as LF_K
+            pi = _PackIn()
+            # padded to a whole page: C++ zero-fills the entire buffer
+            pi.total_len = ((layout.size + 2047) // 2048) * 2048
+            pi.lossless = int(lossless)
+            pi.ha = ((mi_rows + 7) & ~7) * 8
+            pi.lf_k = LF_K
+            for i, name in enumerate(_COEFF_NAMES):
+                if lossless and name != "tx0":
+                    continue
+                pi.coeff_off[i] = layout.segs[f"coeff_{name}"][0]
+                pi.cpos_off[i] = layout.segs[f"cpos_{name}"][0]
+                pi.coeff_cap[i] = caps[name]
+            for i, name in enumerate(("mc4", "mc8", "mc16")):
+                pi.mc_off[i] = layout.segs[name][0]
+                pi.mch_off[i] = layout.segs[name + "h"][0]
+                pi.mc_cap[i] = caps[name]
+            pi.intra_off = layout.segs["intra"][0]
+            pi.chunkbs_off = layout.segs["chunk_bs"][0]
+            pi.intra_cap = caps["intra"]
+            pi.mimask_off = layout.segs["mi_mask"][0]
+            pi.lfm_off = layout.segs["lfm"][0]
+            pi.misc_off = layout.segs["misc"][0]
+            self._packin_cache[key] = pi
+        return pi
+
+    def pack(self, plan, refs, caps, layout, ring_slot=0):
+        """Pack the MOST RECENTLY PARSED frame (must be `plan`) into a
+        fresh flat int16 buffer entirely in C++ (mirrors
+        runtime/pack.pack_frame byte-for-byte).  Returns None on
+        tight-tier overflow (caller falls back to the host oracle)."""
+        assert plan is self._last_plan, \
+            "native pack must run on the parser's live state"
+        hdr = plan.hdr
+        pi = self._packin(caps, layout, bool(hdr.lossless), hdr.mi_rows)
+        pi.ring_slot = ring_slot
+        for k in (1, 2, 3):
+            rb = refs.get(k) if refs else None
+            for p in range(3):
+                if rb is None:
+                    pi.crop[k - 1][p][0] = 1
+                    pi.crop[k - 1][p][1] = 1
+                else:
+                    sx = hdr.subsampling_x if p else 0
+                    sy = hdr.subsampling_y if p else 0
+                    pi.crop[k - 1][p][0] = (rb.width + sx) >> sx
+                    pi.crop[k - 1][p][1] = (rb.height + sy) >> sy
+        PAGE = 2048
+        buf = np.empty(((layout.size + PAGE - 1) // PAGE) * PAGE, np.int16)
+        err = self._lib.vp9h_pack(
+            self._h, ct.byref(pi), buf.ctypes.data_as(ct.POINTER(ct.c_int16)))
+        if err:
+            from ..runtime import pack as _p
+            _p.last_overflow = ("native", int(err), 0)
+            return None
+        return buf
 
     def parse(self, payload: bytes):
         """Parse one (non-superframe) frame; returns FramePlan or
@@ -160,8 +265,10 @@ class NativeParser:
         ok = self._lib.vp9h_parse(self._h, payload, len(payload),
                                   ct.byref(out))
         if not ok:
+            self._last_plan = None
             raise ValueError("frame data corrupted (native parse)")
         if out.show_existing:
+            self._last_plan = None
             return ShowExisting(out.frame_to_show)
 
         hdr = FrameHeader()
@@ -241,4 +348,6 @@ class NativeParser:
         class _Ch:
             reference_mode = out.reference_mode
         plan.ch = _Ch()
+        plan.native_parser = self   # enables the C++ fast-path packer
+        self._last_plan = plan
         return plan

@@ -691,11 +691,12 @@ struct Decoder {
     return !r.has_error() && !r.marker_bad;
   }
 
-  // (mode info, tokens, tiles, adaptation continue below)
+  // (mode info, tokens, tiles, adaptation, packing continue below)
 #include "vp9host_modes.inc"
 #include "vp9host_tokens.inc"
 #include "vp9host_tiles.inc"
 #include "vp9host_adapt.inc"
+#include "vp9host_pack.inc"
 };
 
 }  // namespace
@@ -710,6 +711,42 @@ void vp9h_destroy(void* h) { delete (Decoder*)h; }
 int vp9h_parse(void* h, const uint8_t* data, int64_t size, PlanOut* out) {
   Decoder* d = (Decoder*)h;
   return d->parse_frame(data, size, out);
+}
+
+// Pack the most recently parsed frame into the fused-step flat buffer.
+// Returns 0 on success, a PackErr code on (tight-tier) overflow.
+int64_t vp9h_pack(void* h, const Decoder::PackIn* in, int16_t* out) {
+  Decoder* d = (Decoder*)h;
+  return d->pack_frame_native(*in, out);
+}
+
+// Zero-page compaction: scan the K pages of `flat` and, if at most `tier`
+// are non-zero, emit the compacted upload (header rows carrying page
+// indices as (low15, high) int16 pairs, then the pages).  Returns the
+// number of non-zero pages, or -1 if the frame is too dense (caller
+// ships the dense buffer).  PAGE = 2048 int16 (4 KB).
+int64_t vp9h_compact(const int16_t* flat, int64_t n_pages, int64_t tier,
+                     int16_t* out) {
+  const int64_t PAGE = 2048;
+  int64_t hr = (2 * tier + PAGE - 1) / PAGE;
+  int16_t* head = out;
+  int16_t* pages = out + hr * PAGE;
+  int64_t nz = 0;
+  for (int64_t p = 0; p < n_pages; p++) {
+    const uint64_t* w = (const uint64_t*)(flat + p * PAGE);
+    bool any = false;
+    for (int64_t i = 0; i < PAGE / 4; i++)
+      if (w[i]) { any = true; break; }
+    if (!any) continue;
+    if (nz >= tier) return -1;
+    head[2 * nz] = (int16_t)(p & 0x7FFF);
+    head[2 * nz + 1] = (int16_t)(p >> 15);
+    memcpy(pages + nz * PAGE, flat + p * PAGE, PAGE * sizeof(int16_t));
+    nz++;
+  }
+  for (int64_t i = 2 * nz; i < 2 * tier; i++) head[i] = 0x7FFF;
+  memset(head + 2 * tier, 0, (hr * PAGE - 2 * tier) * sizeof(int16_t));
+  return nz;
 }
 
 }

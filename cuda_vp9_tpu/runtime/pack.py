@@ -342,8 +342,9 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
                     np.full(len(idx), plane, np.int64), dx, dy + 1,
                     slot_map[rf - 1], x0, y0, spx, spy, filt[idx],
                     cwl, chl, np.full(len(idx), ref_i, np.int64)], axis=1)
-                # expand into tiles per (w, h) shape class
-                for ww, hh in set(zip(w.tolist(), h.tolist())):
+                # expand into tiles per (w, h) shape class (sorted: the
+                # native C++ packer mirrors this emission order exactly)
+                for ww, hh in sorted(set(zip(w.tolist(), h.tolist()))):
                     m = (w == ww) & (h == hh)
                     ts = 16 if (ww >= 16 and hh >= 16) else \
                         8 if (ww >= 8 and hh >= 8) else 4
@@ -375,7 +376,8 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
             q = np.where(v >= 0, v + 2, v - 2)
             return np.where(q >= 0, q // 4, -((-q) // 4))
 
-        for wl, hl in set(zip(bwl[idx_all].tolist(), bhl[idx_all].tolist())):
+        for wl, hl in sorted(set(zip(bwl[idx_all].tolist(),
+                                     bhl[idx_all].tolist()))):
             for ref_i in range(2):
                 m = sel & (bwl == wl) & (bhl == hl)
                 if ref_i:

@@ -422,11 +422,17 @@ class TpuReconFused:
         PAGE = self.pack.PAGE
         K = flat.size // PAGE
         tier = _pages_tier(K)
+        if not tier:
+            return None
+        from ..native import native_compact
+        try:
+            return native_compact(flat, K, tier)
+        except Exception:
+            pass  # native lib unavailable: numpy fallback below
         pg = flat.reshape(K, PAGE)
         nz = np.flatnonzero(pg.any(axis=1))
-        if not tier or len(nz) > tier:
+        if len(nz) > tier:
             return None  # dense frame: caller ships the whole buffer
-        tier = tier  # fixed per geometry: one compiled paged step
         # compacted upload: header rows carry the page indices as
         # (low15, high) int16 pairs, then the non-zero pages.  Unused
         # index slots decode to a huge positive value and drop at the
@@ -472,10 +478,16 @@ class TpuReconFused:
             self.flush()
         slot = self._ring_slot
 
-        flat = self.pack.pack_frame(plan, refs, caps, layout)
+        nparser = getattr(plan, "native_parser", None)
+        if nparser is not None:
+            # single-pass C++ packer on the parser's live state
+            flat = nparser.pack(plan, refs, caps, layout, ring_slot=slot)
+        else:
+            flat = self.pack.pack_frame(plan, refs, caps, layout)
+            if flat is not None:
+                layout.view(flat, "misc")[13] = slot
         if flat is None:
             return None  # tight-cap overflow: caller does host fallback
-        layout.view(flat, "misc")[13] = slot
 
         if not hdr.frame_is_intra_only:
             for k, rb in refs.items():
