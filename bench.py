@@ -26,7 +26,7 @@ NORTH_STAR_PIXRATE = 120.0 * 3840 * 2176  # pixels/sec
 def _gen_stream(w, h, frames):
     """Generate a cached benchmark stream with the oracle tool if possible."""
     os.makedirs(BENCH_DIR, exist_ok=True)
-    ivf = os.path.join(BENCH_DIR, f"bench_{w}x{h}.ivf")
+    ivf = os.path.join(BENCH_DIR, f"bench_{w}x{h}_{frames}f.ivf")
     if os.path.exists(ivf):
         return ivf
     try:
@@ -49,7 +49,7 @@ def _gen_stream(w, h, frames):
 def main():
     size = os.environ.get("BENCH_SIZE", "640x360")
     bw, bh = (int(v) for v in size.split("x"))
-    stream = _gen_stream(bw, bh, int(os.environ.get("BENCH_FRAMES", "20")))
+    stream = _gen_stream(bw, bh, int(os.environ.get("BENCH_FRAMES", "150")))
     if stream is None:
         stream = os.path.join(REPO, "tests", "fixtures", "tl01_640x360_t2.ivf")
 

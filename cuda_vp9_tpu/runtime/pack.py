@@ -97,13 +97,6 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         max_waves = w4 + h4 + 2
         caps["intra"] = cdiv(total44, CHUNK_INTRA) + 4 * max_waves
     else:
-        caps["tx0"] = worst[0] if lossless else max(64, worst[0] * 3 // 8)
-        caps["tx1"] = max(64, worst[1] >> 1)
-        caps["tx2s"] = max(64, worst[2] >> 1)
-        caps["tx2d"] = max(16, worst[2] >> 2)
-        caps["tx3s"] = worst[3]
-        caps["tx3m"] = max(8, worst[3] >> 2)
-        caps["tx3d"] = max(16, worst[3] >> 2)
         m4_worst = (cells + 2 * (cells // 4)) * 2
         m8_worst = (cells // 4 + 2 * (cells // 16)) * 2
         m16_worst = (cells // 16 + 2 * (cells // 64)) * 2
@@ -111,10 +104,32 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         ha = ((mi_rows + 7) & ~7) * 8
         br, stride = band_params(ha)
         groups = 2 * 3 * 3 * ((ha - 1) // stride + 1)  # avg x slot x plane
-        caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, CHUNK_MC4) + groups)
-        caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8) + groups)
-        caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
-        caps["intra"] = cdiv(total44 // 4, CHUNK_INTRA) + 128
+        if tier == "wide":
+            # escalation tier for frames that overflow "tight": worst-case
+            # every segment, so NO inter frame can ever fall back to the
+            # host oracle for capacity reasons (the oracle is ~100x slower
+            # than the device step; dense frames are rare but real)
+            caps["tx0"] = worst[0]
+            caps["tx1"] = worst[1]
+            caps["tx2s"] = caps["tx2d"] = worst[2]
+            caps["tx3s"] = caps["tx3m"] = caps["tx3d"] = worst[3]
+            caps["mc4"] = max(1, cdiv(m4_worst, CHUNK_MC4) + groups)
+            caps["mc8"] = max(1, cdiv(m8_worst, CHUNK_MC8) + groups)
+            caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
+            max_waves = w4 + h4 + 2
+            caps["intra"] = cdiv(total44, CHUNK_INTRA) + 4 * max_waves
+        else:
+            caps["tx0"] = worst[0] if lossless else max(64, worst[0] * 3 // 8)
+            caps["tx1"] = max(64, worst[1] >> 1)
+            caps["tx2s"] = max(64, worst[2] >> 1)
+            caps["tx2d"] = max(16, worst[2] >> 2)
+            caps["tx3s"] = worst[3]
+            caps["tx3m"] = max(8, worst[3] >> 2)
+            caps["tx3d"] = max(16, worst[3] >> 2)
+            caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, CHUNK_MC4) + groups)
+            caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8) + groups)
+            caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
+            caps["intra"] = cdiv(total44 // 4, CHUNK_INTRA) + 128
     return caps
 
 

@@ -43,6 +43,39 @@ def _pages_tier(K):
     return t if t * 4 <= K * 3 else 0
 
 
+# Module-level jit caches shared across decoder instances (a fresh lambda
+# per instance would re-jit on every decode session).
+_SLICER_CACHE = {}
+_FETCHER_CACHE = {}
+
+
+def _slicer(k, i, dtype, shape):
+    """jitted s[i] for a [k, *shape] stack.  The index is STATIC — a
+    traced index would ship a scalar per call, and on a tunneled link
+    every host->device transfer pays a large fixed cost."""
+    key = (k, i, dtype, shape)
+    fn = _SLICER_CACHE.get(key)
+    if fn is None:
+        import jax
+        fn = jax.jit(lambda s: jax.lax.index_in_dim(s, i, 0,
+                                                    keepdims=False))
+        _SLICER_CACHE[key] = fn
+    return fn
+
+
+def _fetcher(s0k, dtype, shape):
+    """jitted r[s0:s0+k] ring-row slice (static bounds: no scalar
+    transfer)."""
+    s0, k = s0k
+    key = (s0, k, dtype, shape)
+    fn = _FETCHER_CACHE.get(key)
+    if fn is None:
+        import jax
+        fn = jax.jit(lambda r: jax.lax.slice_in_dim(r, s0, s0 + k, axis=0))
+        _FETCHER_CACHE[key] = fn
+    return fn
+
+
 class TpuRecon:
     """Reconstruction backend running on the default JAX device."""
 
@@ -283,16 +316,18 @@ class TpuRecon:
 class LazyPlanes:
     """Planes of a device-decoded frame, materialized on first access.
 
-    Output frames live in a device-resident uint8 ring; one D2H fetches
-    RING frames at a time (the tunnel's fixed device->host cost amortizes
-    across the batch).  Accessing any plane of any pending frame flushes
-    the ring for all of them."""
+    Output frames live in a device-resident uint8 ring; each dispatched
+    batch schedules ONE background D2H of its ring rows (the tunnel's
+    fixed device->host cost amortizes across the batch, and the transfer
+    overlaps the next batch's host work).  Accessing a plane before its
+    batch was dispatched triggers a queue flush."""
 
     def __init__(self, recon, slot, ha, wa):
         self._recon = recon
         self._slot = slot
         self._geom = (ha, wa)
         self._planes = None
+        self._fut = None     # (future -> np rows, row index) once dispatched
 
     def _set_from_ring(self, row):
         ha, wa = self._geom
@@ -305,7 +340,14 @@ class LazyPlanes:
 
     def _force(self):
         if self._planes is None:
-            self._recon.flush()
+            import time as _time
+            if self._fut is None:
+                self._recon.flush()
+            fut, idx = self._fut
+            _t0 = _time.time()
+            rows = fut.result()
+            self._recon._tw["wait"] += _time.time() - _t0
+            self._set_from_ring(rows[idx])
         return self._planes
 
     def __getitem__(self, i):
@@ -322,15 +364,20 @@ class TpuReconFused:
     """Fused single-dispatch reconstruction with a device-resident
     reference pool (runtime/fused.py).
 
-    Per frame: pack ONE flat int16 tensor (runtime/pack.py), one H2D, one
-    jitted step (residuals + MC + intra + loop filter + pool refresh +
-    output-ring write).  Output planes are returned lazily (LazyPlanes)
-    and fetched RING frames per D2H.  Frames outside the fast path (bd>8,
-    scaled refs, 4:2:2/4:4:4, tight-cap overflow) run on the host oracle,
-    bit-exact, and the affected device pool slots re-sync lazily before
-    their next device use."""
+    Per frame: pack ONE flat int16 tensor in C++ (native/vp9host_pack.inc
+    or runtime/pack.py), then ENQUEUE the jitted step (residuals + MC +
+    intra + loop filter + pool refresh + output-ring write).  Queued
+    frames' uploads are batched into one H2D per BATCH frames — the
+    host->device link has a large fixed per-transfer cost, so upload
+    batching (not bytes) dominates throughput on tunneled links.  Output
+    planes are returned lazily (LazyPlanes) and fetched in one batched
+    D2H per ring flush, sliced to the pending rows.  Frames outside the
+    fast path (bd>8, scaled refs, 4:2:2/4:4:4, tight-cap overflow) run
+    on the host oracle, bit-exact, and the affected device pool slots
+    re-sync lazily before their next device use."""
 
     RING = 32
+    BATCH = 8   # frames per batched H2D
 
     def __init__(self, validate_against_oracle: bool = False):
         from ..utils.jaxcache import enable_persistent_cache
@@ -351,25 +398,96 @@ class TpuReconFused:
         self._ring = None
         self._ring_slot = 0
         self._pending = []
+        self._queue = []        # deferred work: ("sync", i, canvas np)
+                                # or ("step", step_fn, payload np, lp)
+        self._n_queued_steps = 0
+        import concurrent.futures as _cf
+        self._d2h_pool = _cf.ThreadPoolExecutor(max_workers=1)
         self.frames_on_device = 0
         self.frames_on_host = 0
         self.profile = False
         self._t_h2d = 0.0
         self._t_step = 0.0
         self._t_d2h = 0.0
+        # always-on wall timers (non-blocking; used to find host-side
+        # serialization in async mode)
+        self._tw = {"stack": 0.0, "dispatch": 0.0, "fetch": 0.0,
+                    "wait": 0.0, "pack": 0.0}
+
+    # ------------------------------------------------------ dispatch queue
+
+    def _dispatch_queue(self):
+        """Run all deferred work in order; consecutive same-shape step
+        payloads share one H2D transfer, and each dispatched group's
+        output-ring rows are sliced on device and fetched by a background
+        thread (the D2H overlaps the next batch's host work)."""
+        import time as _time
+        jnp = self.jnp
+        q = self._queue
+        self._queue = []
+        self._n_queued_steps = 0
+        i = 0
+        while i < len(q):
+            kind = q[i][0]
+            if kind == "sync":
+                _, si, canvas = q[i]
+                self._pool = self._pool.at[si].set(jnp.asarray(canvas))
+                i += 1
+                continue
+            # group consecutive steps with identical payload shapes
+            j = i
+            while j < len(q) and q[j][0] == "step" \
+                    and q[j][2].shape == q[i][2].shape:
+                j += 1
+            group = q[i:j]
+            _t0 = _time.time()
+            if len(group) == 1:
+                payloads = [jnp.asarray(group[0][2])]
+            else:
+                hstack = np.stack([g[2] for g in group])
+                stack = jnp.asarray(hstack)
+                payloads = [
+                    _slicer(len(group), k, hstack.dtype.str,
+                            hstack.shape[1:])(stack)
+                    for k in range(len(group))]
+            if self.profile:
+                self.jax.block_until_ready(payloads)
+                self._t_h2d += _time.time() - _t0
+            _t1 = _time.time()
+            self._tw["stack"] += _t1 - _t0
+            _t0 = _t1
+            for (_, step, _payload, _lp), dev in zip(group, payloads):
+                self._pool, self._ring = step(self._pool, self._ring,
+                                              self.kernels, dev)
+            if self.profile:
+                self._ring.block_until_ready()
+                self._t_step += _time.time() - _t0
+            _t1 = _time.time()
+            self._tw["dispatch"] += _t1 - _t0
+            _t0 = _t1
+            # device-side slice of this group's ring rows (a copy: safe
+            # against later steps donating/overwriting the ring), fetched
+            # in the background
+            lps = [g[3] for g in group]
+            s0 = lps[0]._slot
+            rows = _fetcher((s0, len(lps)), "u1", self._ring.shape)(
+                self._ring)
+            fut = self._d2h_pool.submit(np.asarray, rows)
+            self._tw["fetch"] += _time.time() - _t0
+            for k, lp in enumerate(lps):
+                lp._fut = (fut, k)
+            i = j
 
     def flush(self):
-        """Materialize all pending ring frames with one D2H."""
-        if not self._pending:
-            self._ring_slot = 0
-            return
+        """Dispatch queued steps and wait out all pending output
+        fetches."""
+        self._dispatch_queue()
         import time as _time
         _t0 = _time.time()
-        arr = np.asarray(self._ring)
+        for lp in self._pending:
+            lp._force()
         if self.profile:
             self._t_d2h += _time.time() - _t0
-        for lp in self._pending:
-            lp._set_from_ring(arr[lp._slot])
         self._pending = []
         self._ring_slot = 0
 
@@ -403,14 +521,14 @@ class TpuReconFused:
         return ha, wa
 
     def _sync_slot(self, i, rb):
-        """Push one host RefBuffer into device pool slot i."""
-        jnp = self.jnp
+        """Queue a host RefBuffer push into device pool slot i (ordered
+        with the queued steps)."""
         ha, wa = self._pool_geom
         canvas = np.zeros((3, ha, wa), np.int32)
         for p in range(3):
             pl = rb.planes[p]
             canvas[p, :pl.shape[0], :pl.shape[1]] = pl
-        self._pool = self._pool.at[i].set(jnp.asarray(canvas))
+        self._queue.append(("sync", i, canvas))
         self._slot_dirty[i] = False
 
     def _compact(self, flat):
@@ -475,19 +593,42 @@ class TpuReconFused:
 
         ha, wa = self._ensure_pool(plan)
         if self._ring_slot >= self.RING:
-            self.flush()
+            # ring wrap: dispatch queued steps (their output rows are
+            # snapshotted on device before any later step overwrites
+            # them), then reuse slots from 0 — no host sync needed
+            self._dispatch_queue()
+            self._ring_slot = 0
+            self._pending = [lp for lp in self._pending
+                             if lp._planes is None and lp._fut is None]
         slot = self._ring_slot
 
+        import time as _time
+        _tp0 = _time.time()
         nparser = getattr(plan, "native_parser", None)
-        if nparser is not None:
-            # single-pass C++ packer on the parser's live state
-            flat = nparser.pack(plan, refs, caps, layout, ring_slot=slot)
-        else:
-            flat = self.pack.pack_frame(plan, refs, caps, layout)
-            if flat is not None:
-                layout.view(flat, "misc")[13] = slot
+
+        def pack_with(caps, layout):
+            if nparser is not None:
+                # single-pass C++ packer on the parser's live state
+                return nparser.pack(plan, refs, caps, layout,
+                                    ring_slot=slot)
+            f = self.pack.pack_frame(plan, refs, caps, layout)
+            if f is not None:
+                layout.view(f, "misc")[13] = slot
+            return f
+
+        flat = pack_with(caps, layout)
+        if flat is None and tier == "tight":
+            # dense frame: escalate to the worst-case "wide" device tier
+            # (the host oracle is ~100x slower than a wide-step dispatch)
+            tier = "wide"
+            step, caps, layout = self.fused.get_frame_step(
+                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless))
+            K = (layout.size + self.pack.PAGE - 1) // self.pack.PAGE
+            ptier = _pages_tier(K)
+            flat = pack_with(caps, layout)
+        self._tw["pack"] += _time.time() - _tp0
         if flat is None:
-            return None  # tight-cap overflow: caller does host fallback
+            return None  # capacity overflow: caller does host fallback
 
         if not hdr.frame_is_intra_only:
             for k, rb in refs.items():
@@ -497,32 +638,24 @@ class TpuReconFused:
                 if self._slot_dirty[rslot]:
                     self._sync_slot(rslot, rb)
 
-        import time as _time
-        _t0 = _time.time()
         comb = self._compact(flat) if ptier else None
         if comb is not None:
             step, _, _ = self.fused.get_frame_step(
                 hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless),
                 pages_tier=ptier)
-            flat_dev = jnp.asarray(comb)
+            payload = comb
         else:
-            flat_dev = jnp.asarray(flat)
-        if self.profile:
-            flat_dev.block_until_ready()
-            self._t_h2d += _time.time() - _t0
-            _t0 = _time.time()
-        self._pool, self._ring = step(self._pool, self._ring,
-                                      self.kernels, flat_dev)
-        if self.profile:
-            self._ring.block_until_ready()
-            self._t_step += _time.time() - _t0
+            payload = flat
+        planes = LazyPlanes(self, slot, ha, wa)
+        self._queue.append(("step", step, payload, planes))
+        self._pending.append(planes)
+        self._ring_slot = slot + 1
+        self._n_queued_steps += 1
+        if self._n_queued_steps >= self.BATCH:
+            self._dispatch_queue()
         for i in range(8):
             if hdr.refresh_frame_flags & (1 << i):
                 self._slot_dirty[i] = False  # device wrote these slots
-
-        planes = LazyPlanes(self, slot, ha, wa)
-        self._pending.append(planes)
-        self._ring_slot = slot + 1
         if self.validate:
             self.flush()
             want = ref_recon.reconstruct_frame(plan, refs)
