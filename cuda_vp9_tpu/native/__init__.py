@@ -121,14 +121,24 @@ def _load():
         _lib.vp9h_compact.restype = ct.c_int64
         _lib.vp9h_compact.argtypes = [ct.POINTER(ct.c_int16), ct.c_int64,
                                       ct.c_int64, ct.POINTER(ct.c_int16)]
+        _lib.vp9h_count_pages.restype = ct.c_int64
+        _lib.vp9h_count_pages.argtypes = [ct.POINTER(ct.c_int16),
+                                          ct.c_int64]
     return _lib
+
+
+def native_count_pages(flat: np.ndarray, n_pages: int) -> int:
+    """Number of non-zero 512-int16 pages in a packed flat buffer."""
+    lib = _load()
+    return int(lib.vp9h_count_pages(
+        flat.ctypes.data_as(ct.POINTER(ct.c_int16)), n_pages))
 
 
 def native_compact(flat: np.ndarray, n_pages: int, tier: int):
     """Zero-page compaction in C++ (mirrors TpuReconFused._compact).
     Returns the compacted [hr + tier, PAGE] int16 array or None (dense)."""
     lib = _load()
-    PAGE = 2048
+    PAGE = 512
     hr = (2 * tier + PAGE - 1) // PAGE
     out = np.empty((hr + tier, PAGE), np.int16)
     nz = lib.vp9h_compact(
@@ -200,7 +210,7 @@ class NativeParser:
             from ..ops.pallas.loopfilter import K as LF_K
             pi = _PackIn()
             # padded to a whole page: C++ zero-fills the entire buffer
-            pi.total_len = ((layout.size + 2047) // 2048) * 2048
+            pi.total_len = ((layout.size + 511) // 512) * 512
             pi.lossless = int(lossless)
             pi.ha = ((mi_rows + 7) & ~7) * 8
             pi.lf_k = LF_K
@@ -244,7 +254,7 @@ class NativeParser:
                     sy = hdr.subsampling_y if p else 0
                     pi.crop[k - 1][p][0] = (rb.width + sx) >> sx
                     pi.crop[k - 1][p][1] = (rb.height + sy) >> sy
-        PAGE = 2048
+        PAGE = 512
         buf = np.empty(((layout.size + PAGE - 1) // PAGE) * PAGE, np.int16)
         err = self._lib.vp9h_pack(
             self._h, ct.byref(pi), buf.ctypes.data_as(ct.POINTER(ct.c_int16)))

@@ -724,10 +724,10 @@ int64_t vp9h_pack(void* h, const Decoder::PackIn* in, int16_t* out) {
 // are non-zero, emit the compacted upload (header rows carrying page
 // indices as (low15, high) int16 pairs, then the pages).  Returns the
 // number of non-zero pages, or -1 if the frame is too dense (caller
-// ships the dense buffer).  PAGE = 2048 int16 (4 KB).
+// ships the dense buffer).  PAGE = 512 int16 (1 KB).
 int64_t vp9h_compact(const int16_t* flat, int64_t n_pages, int64_t tier,
                      int16_t* out) {
-  const int64_t PAGE = 2048;
+  const int64_t PAGE = 512;
   int64_t hr = (2 * tier + PAGE - 1) / PAGE;
   int16_t* head = out;
   int16_t* pages = out + hr * PAGE;
@@ -746,6 +746,19 @@ int64_t vp9h_compact(const int16_t* flat, int64_t n_pages, int64_t tier,
   }
   for (int64_t i = 2 * nz; i < 2 * tier; i++) head[i] = 0x7FFF;
   memset(head + 2 * tier, 0, (hr * PAGE - 2 * tier) * sizeof(int16_t));
+  return nz;
+}
+
+// Count non-zero pages only (the caller picks the smallest compiled
+// page-tier step variant that fits before emitting the compact upload).
+int64_t vp9h_count_pages(const int16_t* flat, int64_t n_pages) {
+  const int64_t PAGE = 512;
+  int64_t nz = 0;
+  for (int64_t p = 0; p < n_pages; p++) {
+    const uint64_t* w = (const uint64_t*)(flat + p * PAGE);
+    for (int64_t i = 0; i < PAGE / 4; i++)
+      if (w[i]) { nz++; break; }
+  }
   return nz;
 }
 

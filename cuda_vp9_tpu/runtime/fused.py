@@ -44,14 +44,17 @@ def cdiv(a, b):
 def _residual_pass(R, coeffs, pos, tx_size, lossless, bd):
     """coeffs [CAP, n*n], pos [CAP, 4] = (plane, y, x, tx_type)."""
     n = 4 << tx_size
+    # bd=8 runs the butterflies in native int16 (WRAPLOW is free: int16
+    # adds wrap natively) -- ~3x fewer ops than the masked emulation
+    wd = jnp.int16 if bd == 8 else I32
     if lossless:
         resid = T.inv_wht2d(coeffs, bd, xp=jnp, work_dtype=I32)
     elif tx_size == 3:
-        resid = T.inv_txfm2d(coeffs, 3, 0, bd, xp=jnp, work_dtype=I32)
+        resid = T.inv_txfm2d(coeffs, 3, 0, bd, xp=jnp, work_dtype=wd)
     else:
         # per-unit tx_type, selected at the 1-D pass level (4 passes total)
         resid = T.inv_txfm2d_select(coeffs, tx_size, pos[:, 3], bd,
-                                    xp=jnp, work_dtype=I32)
+                                    xp=jnp, work_dtype=wd)
     # y stored +1: zero entries are padding (zero-page elision)
     y0 = jnp.where(pos[:, 1] == 0, -(1 << 20), pos[:, 1] - 1)
     rows = y0[:, None, None] + jnp.arange(n, dtype=I32)[None, :, None]
@@ -215,23 +218,39 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         misc = seg("misc")
         F = jnp.zeros((3, ha, wa), I32)
         R = jnp.zeros((3, ha, wa), I32)
-        from .pack import COEFF_BUCKETS
-        for name, tx, ncoef in COEFF_BUCKETS:
+        from .pack import COEFF_BUCKETS, COEFF_CHUNK
+        # residual transforms: fori_loop over fixed-size chunks with a
+        # TRACED trip count (misc[16+b]) so per-frame transform cost
+        # tracks actual coded content, not the bucket capacity (typical
+        # frames fill 10-25% of the caps; the butterfly chains are
+        # bandwidth-bound so capacity work is pure waste)
+        cdt = jnp.int16 if bd == 8 else I32
+        for bi, (name, tx, ncoef) in enumerate(COEFF_BUCKETS):
             if lossless and name != "tx0":
                 continue
-            cm = seg(f"coeff_{name}")
-            pos = seg(f"cpos_{name}")
+            cm_all = seg(f"coeff_{name}", cdt)
+            pos_all = seg(f"cpos_{name}")
+            CH = COEFF_CHUNK[name]
             n2 = (4 << tx) * (4 << tx)
+            scan = None
             if ncoef < n2:
-                # sparse: first-ncoef scan coefficients -> expand to raster
                 scan = jnp.asarray(np.stack(
                     [np.asarray(M.SCAN_ORDERS[tx][t].scan[:ncoef],
                                 np.int32) for t in range(4)]))
-                idx = scan[pos[:, 3]]
-                full = jnp.zeros((cm.shape[0], n2), I32)
-                cap_i = jnp.arange(cm.shape[0], dtype=I32)[:, None]
-                cm = full.at[cap_i, idx].set(cm)
-            R = _residual_pass(R, cm, pos, tx, lossless, bd)
+
+            def body(i, R, cm_all=cm_all, pos_all=pos_all, CH=CH, tx=tx,
+                     ncoef=ncoef, n2=n2, scan=scan):
+                cm = jax.lax.dynamic_slice(cm_all, (i * CH, 0), (CH, ncoef))
+                pos = jax.lax.dynamic_slice(pos_all, (i * CH, 0), (CH, 4))
+                if scan is not None:
+                    # sparse: first-ncoef scan coefficients -> raster
+                    idx = scan[pos[:, 3]]
+                    full = jnp.zeros((CH, n2), cm.dtype)
+                    ci = jnp.arange(CH, dtype=I32)[:, None]
+                    cm = full.at[ci, idx].set(cm)
+                return _residual_pass(R, cm, pos, tx, lossless, bd)
+
+            R = jax.lax.fori_loop(0, misc[16 + bi], body, R)
         br = min(160, ha)
         F = _mc_pass(F, pool, kernels, seg("mc4"), seg("mc4h"),
                      misc[0], 4, 4, br, bd)

@@ -68,6 +68,13 @@ COEFF_BUCKETS = (
     ("tx3s", 3, 64), ("tx3m", 3, 256), ("tx3d", 3, 1024),
 )
 
+# Chunk length per coeff bucket: the fused step runs the inverse
+# transforms in a fori_loop over chunks with a TRACED trip count
+# (misc[16+b]), so per-frame transform cost tracks actual content
+# instead of the bucket capacity.  Caps round up to a chunk multiple.
+COEFF_CHUNK = {"tx0": 1024, "tx1": 256, "tx2s": 128, "tx2d": 64,
+               "tx3s": 64, "tx3m": 32, "tx3d": 16}
+
 last_overflow = None  # (segment, needed, cap) of the most recent fallback
 
 
@@ -130,6 +137,9 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8) + groups)
             caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
             caps["intra"] = cdiv(total44 // 4, CHUNK_INTRA) + 128
+    for name, ch in COEFF_CHUNK.items():
+        if name in caps:
+            caps[name] = cdiv(caps[name], ch) * ch
     return caps
 
 
@@ -172,7 +182,7 @@ def build_layout(caps, mi_rows, mi_cols, lossless) -> FlatLayout:
     sb_rows, sb_cols = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
     n_sbs_pad = cdiv(sb_rows, LF_K) * LF_K * sb_cols
     L.add("lfm", (n_sbs_pad, 8, 128))
-    L.add("misc", (16,))
+    L.add("misc", (32,))
     return L
 
 
@@ -238,8 +248,10 @@ def _pack_coeffs(plan, caps, layout, buf, lossless):
     srcs = plan.coeffs
 
     assigned = np.zeros(len(A["tx"]), bool)
+    counts = []
     for name, t, ncoef in COEFF_BUCKETS:
         if lossless and name != "tx0":
+            counts.append(0)
             continue  # non-tx0 units would be caught by the final check
         full = ncoef == (4 << t) * (4 << t)
         elig = (A["tx"] == t) & ~assigned
@@ -249,9 +261,10 @@ def _pack_coeffs(plan, caps, layout, buf, lossless):
         cap = caps[name]
         if full and len(idx) > cap:
             _note_overflow(name, len(idx), cap)
-            return False
+            return None
         idx = idx[:cap]  # excess spills to the next (larger) bucket
         assigned[idx] = True
+        counts.append(len(idx))
         cm = layout.view(buf, f"coeff_{name}")
         pm = layout.view(buf, f"cpos_{name}")
         if len(idx) == 0:
@@ -271,7 +284,7 @@ def _pack_coeffs(plan, caps, layout, buf, lossless):
                 vals[s] = srcs[pp][gidx[s]]
         if np.abs(vals).max(initial=0) > 32767:
             _note_overflow("coeff_range", 0, 0)
-            return False
+            return None
         cm[:len(idx)] = vals
         pm[:len(idx), 0] = pl
         # y is stored +1 so a zero entry means "inactive" and all-zero
@@ -281,8 +294,8 @@ def _pack_coeffs(plan, caps, layout, buf, lossless):
         pm[:len(idx), 3] = tts
     if not assigned.all():
         _note_overflow("coeff_unassigned", int((~assigned).sum()), 0)
-        return False
-    return True
+        return None
+    return counts
 
 
 def _blocks_arr(plan):
@@ -567,7 +580,7 @@ def _pack_lf(plan, caps, layout, buf):
     return 1
 
 
-PAGE = 2048  # int16 elements per transfer page (4 KB)
+PAGE = 512  # int16 elements per transfer page (1 KB)
 
 
 def pack_frame(plan, refs, caps, layout):
@@ -577,7 +590,8 @@ def pack_frame(plan, refs, caps, layout):
     host oracle)."""
     hdr = plan.hdr
     buf = np.zeros(cdiv(layout.size, PAGE) * PAGE, np.int16)
-    if not _pack_coeffs(plan, caps, layout, buf, bool(hdr.lossless)):
+    ncoeff = _pack_coeffs(plan, caps, layout, buf, bool(hdr.lossless))
+    if ncoeff is None:
         return None
     if hdr.frame_is_intra_only:
         nmc = [0, 0, 0]
@@ -600,4 +614,8 @@ def pack_frame(plan, refs, caps, layout):
     misc[4] = lf_on
     for i in range(8):
         misc[5 + i] = (hdr.refresh_frame_flags >> i) & 1
+    # misc[16..22]: residual fori_loop trip count per coeff bucket
+    # (cdiv(filled units, chunk); unit counts can exceed int16 at 4K)
+    for b, (name, _, _) in enumerate(COEFF_BUCKETS):
+        misc[16 + b] = cdiv(ncoeff[b], COEFF_CHUNK[name])
     return buf

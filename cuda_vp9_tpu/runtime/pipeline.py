@@ -36,11 +36,18 @@ def _pad_pow2(n, lo=16):
     return p
 
 
-def _pages_tier(K):
-    """Page budget for the compacted upload of a K-page flat buffer
-    (0 = always ship dense)."""
-    t = _pad_pow2(max(16, K // 8))
-    return t if t * 4 <= K * 3 else 0
+def _tier_ladder(K):
+    """Page-tier ladder for a K-page flat layout: each tier is a separate
+    compiled step variant; per frame the smallest tier >= the frame's
+    non-zero page count is used (upload bytes AND the in-step expansion
+    scatter scale with the tier, so a fixed one-size tier wastes 5-8x on
+    typical frames).  Frames denser than the largest tier ship dense."""
+    ts = []
+    t = 64
+    while t * 4 <= K * 3:
+        ts.append(t)
+        t *= 2
+    return ts
 
 
 # Module-level jit caches shared across decoder instances (a fresh lambda
@@ -377,7 +384,8 @@ class TpuReconFused:
     re-sync lazily before their next device use."""
 
     RING = 32
-    BATCH = 8   # frames per batched H2D
+    BATCH = 16   # frames per dispatch batch (one ring fetch per batch:
+                 # each device->host fetch pays a ~25 ms tunnel RTT)
 
     def __init__(self, validate_against_oracle: bool = False):
         from ..utils.jaxcache import enable_persistent_cache
@@ -412,20 +420,24 @@ class TpuReconFused:
         # always-on wall timers (non-blocking; used to find host-side
         # serialization in async mode)
         self._tw = {"stack": 0.0, "dispatch": 0.0, "fetch": 0.0,
-                    "wait": 0.0, "pack": 0.0}
+                    "wait": 0.0, "pack": 0.0, "h2d_bytes": 0}
 
     # ------------------------------------------------------ dispatch queue
 
     def _dispatch_queue(self):
         """Run all deferred work in order; consecutive same-shape step
-        payloads share one H2D transfer, and each dispatched group's
-        output-ring rows are sliced on device and fetched by a background
-        thread (the D2H overlaps the next batch's host work)."""
+        payloads share one H2D transfer.  After ALL queued steps are
+        dispatched, the ring rows they wrote are sliced on device in ONE
+        program (a copy: safe against later steps donating/overwriting
+        the ring) and fetched by a background thread, overlapping the
+        next batch's host work.  One fetch per dispatch call matters:
+        each device->host fetch pays the tunnel's ~25 ms round trip."""
         import time as _time
         jnp = self.jnp
         q = self._queue
         self._queue = []
         self._n_queued_steps = 0
+        all_lps = []
         i = 0
         while i < len(q):
             kind = q[i][0]
@@ -443,8 +455,10 @@ class TpuReconFused:
             _t0 = _time.time()
             if len(group) == 1:
                 payloads = [jnp.asarray(group[0][2])]
+                self._tw["h2d_bytes"] += group[0][2].nbytes
             else:
                 hstack = np.stack([g[2] for g in group])
+                self._tw["h2d_bytes"] += hstack.nbytes
                 stack = jnp.asarray(hstack)
                 payloads = [
                     _slicer(len(group), k, hstack.dtype.str,
@@ -462,21 +476,18 @@ class TpuReconFused:
             if self.profile:
                 self._ring.block_until_ready()
                 self._t_step += _time.time() - _t0
-            _t1 = _time.time()
-            self._tw["dispatch"] += _t1 - _t0
-            _t0 = _t1
-            # device-side slice of this group's ring rows (a copy: safe
-            # against later steps donating/overwriting the ring), fetched
-            # in the background
-            lps = [g[3] for g in group]
-            s0 = lps[0]._slot
-            rows = _fetcher((s0, len(lps)), "u1", self._ring.shape)(
+            self._tw["dispatch"] += _time.time() - _t0
+            all_lps.extend(g[3] for g in group)
+            i = j
+        if all_lps:
+            _t0 = _time.time()
+            s0 = all_lps[0]._slot
+            rows = _fetcher((s0, len(all_lps)), "u1", self._ring.shape)(
                 self._ring)
             fut = self._d2h_pool.submit(np.asarray, rows)
             self._tw["fetch"] += _time.time() - _t0
-            for k, lp in enumerate(lps):
+            for k, lp in enumerate(all_lps):
                 lp._fut = (fut, k)
-            i = j
 
     def flush(self):
         """Dispatch queued steps and wait out all pending output
@@ -532,25 +543,32 @@ class TpuReconFused:
         self._slot_dirty[i] = False
 
     def _compact(self, flat):
-        """Compact a packed frame by eliding all-zero 4KB pages (the flat
+        """Compact a packed frame by eliding all-zero 1KB pages (the flat
         buffer is capacity-padded; typical frames fill 10-20% of it).
-        The page scatter runs inside the frame step (a separate expander
-        program would break async dispatch pipelining).  Returns None if
-        the frame is too dense for the geometry's page tier."""
+        Picks the smallest page-tier step variant that fits the frame's
+        non-zero page count (each tier is its own compiled program; both
+        the upload bytes and the in-step expansion scatter scale with the
+        tier).  The page scatter runs inside the frame step (a separate
+        expander program would break async dispatch pipelining).  Returns
+        (comb, tier), or (None, 0) when dense / no ladder."""
         PAGE = self.pack.PAGE
         K = flat.size // PAGE
-        tier = _pages_tier(K)
-        if not tier:
-            return None
-        from ..native import native_compact
+        ladder = _tier_ladder(K)
+        if not ladder:
+            return None, 0
         try:
-            return native_compact(flat, K, tier)
+            from ..native import native_compact, native_count_pages
+            nzp = native_count_pages(flat, K)
         except Exception:
-            pass  # native lib unavailable: numpy fallback below
+            native_compact = None  # lib unavailable: numpy fallback below
+            nzp = int(flat.reshape(K, PAGE).any(axis=1).sum())
+        tier = next((t for t in ladder if nzp <= t), None)
+        if tier is None:
+            return None, 0  # dense frame: caller ships the whole buffer
+        if native_compact is not None:
+            return native_compact(flat, K, tier), tier
         pg = flat.reshape(K, PAGE)
         nz = np.flatnonzero(pg.any(axis=1))
-        if len(nz) > tier:
-            return None  # dense frame: caller ships the whole buffer
         # compacted upload: header rows carry the page indices as
         # (low15, high) int16 pairs, then the non-zero pages.  Unused
         # index slots decode to a huge positive value and drop at the
@@ -562,7 +580,7 @@ class TpuReconFused:
         head[1:2 * len(nz):2] = nz >> 15
         head[2 * len(nz):2 * tier] = 0x7FFF
         comb[hr:hr + len(nz)] = pg[nz]
-        return comb
+        return comb, tier
 
     def _mark_host_frame(self, refresh_flags):
         """A frame was produced on the host: its refreshed device slots
@@ -588,8 +606,6 @@ class TpuReconFused:
         tier = "full" if hdr.frame_is_intra_only else "tight"
         step, caps, layout = self.fused.get_frame_step(
             hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless))
-        K = (layout.size + self.pack.PAGE - 1) // self.pack.PAGE
-        ptier = _pages_tier(K)
 
         ha, wa = self._ensure_pool(plan)
         if self._ring_slot >= self.RING:
@@ -623,8 +639,6 @@ class TpuReconFused:
             tier = "wide"
             step, caps, layout = self.fused.get_frame_step(
                 hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless))
-            K = (layout.size + self.pack.PAGE - 1) // self.pack.PAGE
-            ptier = _pages_tier(K)
             flat = pack_with(caps, layout)
         self._tw["pack"] += _time.time() - _tp0
         if flat is None:
@@ -638,7 +652,7 @@ class TpuReconFused:
                 if self._slot_dirty[rslot]:
                     self._sync_slot(rslot, rb)
 
-        comb = self._compact(flat) if ptier else None
+        comb, ptier = self._compact(flat)
         if comb is not None:
             step, _, _ = self.fused.get_frame_step(
                 hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless),

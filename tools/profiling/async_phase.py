@@ -56,3 +56,5 @@ print(f"  recon wall: pack={tw['pack']:.2f} stack(h2d)={tw['stack']:.2f} "
 print(f"  parse-only ~= decode - pack - stack - dispatch - fetch = "
       f"{t_dec - tw['pack'] - tw['stack'] - tw['dispatch'] - tw['fetch']:.2f}s")
 print(f"  dev={recon.frames_on_device} host={recon.frames_on_host}")
+print(f"  h2d_bytes={recon._tw['h2d_bytes']/1e6:.1f} MB "
+      f"({recon._tw['h2d_bytes']/1e6/n:.2f} MB/frame)")
