@@ -82,6 +82,8 @@ class _PackIn(ct.Structure):
         ("mimask_off", ct.c_int64), ("lfm_off", ct.c_int64),
         ("misc_off", ct.c_int64),
         ("crop", ((ct.c_int32 * 2) * 3) * 3),
+        ("highbd", ct.c_int32),
+        ("coeffh_off", ct.c_int64 * 7),
     ]
 
 
@@ -214,12 +216,15 @@ class NativeParser:
             pi.lossless = int(lossless)
             pi.ha = ((mi_rows + 7) & ~7) * 8
             pi.lf_k = LF_K
+            pi.highbd = int("coeffh_tx0" in layout.segs)
             for i, name in enumerate(_COEFF_NAMES):
                 if lossless and name != "tx0":
                     continue
                 pi.coeff_off[i] = layout.segs[f"coeff_{name}"][0]
                 pi.cpos_off[i] = layout.segs[f"cpos_{name}"][0]
                 pi.coeff_cap[i] = caps[name]
+                if pi.highbd:
+                    pi.coeffh_off[i] = layout.segs[f"coeffh_{name}"][0]
             for i, name in enumerate(("mc4", "mc8", "mc16")):
                 pi.mc_off[i] = layout.segs[name][0]
                 pi.mch_off[i] = layout.segs[name + "h"][0]

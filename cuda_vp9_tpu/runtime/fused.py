@@ -102,11 +102,16 @@ def _mc_chunk(F, pool, kernels, hd, u, w, h, br, bd):
         tgt = jnp.clip(xs[:, None, None] + c_idx + k, 0,
                        cw[:, None, None] - 1)
         Mh = Mh + fx[:, k, None, None] * (tgt == col)
-    # P[n, b, c]: horizontally filtered value of band row b at dest col c
+    # P[n, b, c]: horizontally filtered value of band row b at dest col c.
+    # bf16 products are exact for 8-bit pixels (<=255) x filter taps
+    # (<=128); high-bit-depth pixels need f32 (exact to 2^24).
+    mdt = jnp.bfloat16 if bd == 8 else jnp.float32
     P = jax.lax.dot_general(
-        band.astype(jnp.bfloat16), Mh.astype(jnp.bfloat16),
+        band.astype(mdt), Mh.astype(mdt),
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)      # [br, N, w]
+        preferred_element_type=jnp.float32,
+        precision=(None if bd == 8
+                   else jax.lax.Precision.HIGHEST))   # [br, N, w]
     P = P.transpose(1, 0, 2)                     # [N, br, w]
     # source-row selection (with normative edge clamping) as 0/1 matmul
     rr = jnp.clip(y0[:, None] - 3 + jnp.arange(ih, dtype=I32)[None, :],
@@ -229,6 +234,7 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
             if lossless and name != "tx0":
                 continue
             cm_all = seg(f"coeff_{name}", cdt)
+            cmh_all = seg(f"coeffh_{name}") if bd > 8 else None
             pos_all = seg(f"cpos_{name}")
             CH = COEFF_CHUNK[name]
             n2 = (4 << tx) * (4 << tx)
@@ -238,9 +244,14 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                     [np.asarray(M.SCAN_ORDERS[tx][t].scan[:ncoef],
                                 np.int32) for t in range(4)]))
 
-            def body(i, R, cm_all=cm_all, pos_all=pos_all, CH=CH, tx=tx,
-                     ncoef=ncoef, n2=n2, scan=scan):
+            def body(i, R, cm_all=cm_all, cmh_all=cmh_all, pos_all=pos_all,
+                     CH=CH, tx=tx, ncoef=ncoef, n2=n2, scan=scan):
                 cm = jax.lax.dynamic_slice(cm_all, (i * CH, 0), (CH, ncoef))
+                if cmh_all is not None:
+                    # hi/lo split (HBD coefficients exceed int16)
+                    hi = jax.lax.dynamic_slice(cmh_all, (i * CH, 0),
+                                               (CH, ncoef))
+                    cm = (hi << 15) + cm
                 pos = jax.lax.dynamic_slice(pos_all, (i * CH, 0), (CH, 4))
                 if scan is not None:
                     # sparse: first-ncoef scan coefficients -> raster
@@ -277,11 +288,13 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         refresh = misc[5:13]
         pool = jnp.where(refresh[:, None, None, None] > 0, F[None], pool)
         # write the frame into its output-ring slot (fetched in one D2H per
-        # RING frames: the tunnel's device->host fixed cost amortizes)
+        # RING frames: the tunnel's device->host fixed cost amortizes);
+        # high bit depth rings are int16 (pixels <= 4095)
         hc, wc = ha >> 1, wa >> 1
+        odt = jnp.uint8 if bd == 8 else jnp.int16
         out = jnp.concatenate(
             [F[0].reshape(-1), F[1, :hc, :wc].reshape(-1),
-             F[2, :hc, :wc].reshape(-1)]).astype(jnp.uint8)
+             F[2, :hc, :wc].reshape(-1)]).astype(odt)
         ring = jax.lax.dynamic_update_index_in_dim(ring, out, misc[13], 0)
         return pool, ring
 
@@ -301,7 +314,7 @@ def get_frame_step(mi_rows: int, mi_cols: int, tier: str, lossless: bool,
     key = (mi_rows, mi_cols, tier, lossless, bd, pages_tier)
     if key not in _STEP_CACHE:
         caps = pack.compute_caps(mi_rows, mi_cols, tier, lossless)
-        layout = pack.build_layout(caps, mi_rows, mi_cols, lossless)
+        layout = pack.build_layout(caps, mi_rows, mi_cols, lossless, bd)
         step = make_frame_step(mi_rows, mi_cols, caps, layout, lossless,
                                bd, pages_tier)
         _STEP_CACHE[key] = (step, caps, layout)

@@ -160,12 +160,17 @@ class FlatLayout:
         return buf[off:off + int(np.prod(shape))].reshape(shape)
 
 
-def build_layout(caps, mi_rows, mi_cols, lossless) -> FlatLayout:
+def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8) -> FlatLayout:
     L = FlatLayout()
     for name, t, ncoef in COEFF_BUCKETS:
         if lossless and name != "tx0":
             continue
         L.add(f"coeff_{name}", (caps[name], ncoef))
+        if bd > 8:
+            # high-bit-depth dequantized coefficients exceed int16: ship
+            # as (lo, hi) with lo = v - (hi << 15) in [0, 0x7FFF],
+            # hi = v >> 15 (arithmetic); the step rebuilds v in int32
+            L.add(f"coeffh_{name}", (caps[name], ncoef))
         L.add(f"cpos_{name}", (caps[name], 4))
     L.add("mc4", (caps["mc4"], CHUNK_MC4, 12))
     L.add("mc8", (caps["mc8"], CHUNK_MC8, 12))
@@ -198,7 +203,7 @@ def scan_prefix(t, ncoef):
     return _SCAN_PREFIX[key]
 
 
-def _pack_coeffs(plan, caps, layout, buf, lossless):
+def _pack_coeffs(plan, caps, layout, buf, lossless, bd=8):
     mi = plan.mi
     # gather all coded transform units across planes
     U = {"plane": [], "y": [], "x": [], "off": [], "tt": [], "eob": [],
@@ -282,10 +287,18 @@ def _pack_coeffs(plan, caps, layout, buf, lossless):
             s = pl == pp
             if s.any():
                 vals[s] = srcs[pp][gidx[s]]
-        if np.abs(vals).max(initial=0) > 32767:
+        if bd > 8:
+            # split into (lo in [0, 0x7FFF], hi = v >> 15); the step
+            # rebuilds v = (hi << 15) + lo in int32
+            hi = vals >> 15
+            cmh = layout.view(buf, f"coeffh_{name}")
+            cmh[:len(idx)] = hi
+            cm[:len(idx)] = vals - (hi << 15)
+        elif np.abs(vals).max(initial=0) > 32767:
             _note_overflow("coeff_range", 0, 0)
             return None
-        cm[:len(idx)] = vals
+        else:
+            cm[:len(idx)] = vals
         pm[:len(idx), 0] = pl
         # y is stored +1 so a zero entry means "inactive" and all-zero
         # pages can be elided from the host->device transfer
@@ -590,7 +603,8 @@ def pack_frame(plan, refs, caps, layout):
     host oracle)."""
     hdr = plan.hdr
     buf = np.zeros(cdiv(layout.size, PAGE) * PAGE, np.int16)
-    ncoeff = _pack_coeffs(plan, caps, layout, buf, bool(hdr.lossless))
+    ncoeff = _pack_coeffs(plan, caps, layout, buf, bool(hdr.lossless),
+                          hdr.bit_depth)
     if ncoeff is None:
         return None
     if hdr.frame_is_intra_only:

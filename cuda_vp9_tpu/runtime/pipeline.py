@@ -482,7 +482,8 @@ class TpuReconFused:
         if all_lps:
             _t0 = _time.time()
             s0 = all_lps[0]._slot
-            rows = _fetcher((s0, len(all_lps)), "u1", self._ring.shape)(
+            rows = _fetcher((s0, len(all_lps)), self._ring.dtype.str,
+                            self._ring.shape)(
                 self._ring)
             fut = self._d2h_pool.submit(np.asarray, rows)
             self._tw["fetch"] += _time.time() - _t0
@@ -504,7 +505,7 @@ class TpuReconFused:
 
     def _can_run_on_device(self, plan, refs) -> bool:
         hdr = plan.hdr
-        if hdr.bit_depth != 8:
+        if hdr.bit_depth not in (8, 10, 12):
             return False
         if hdr.subsampling_x != 1 or hdr.subsampling_y != 1:
             return False
@@ -521,12 +522,13 @@ class TpuReconFused:
         hdr = plan.hdr
         wa = ((hdr.mi_cols + 7) & ~7) * 8
         ha = ((hdr.mi_rows + 7) & ~7) * 8
-        geom = (ha, wa)
+        geom = (ha, wa, hdr.bit_depth)
         if self._pool is None or self._pool_geom != geom:
             self.flush()
             nout = ha * wa + 2 * ((ha >> 1) * (wa >> 1))
+            odt = jnp.uint8 if hdr.bit_depth == 8 else jnp.int16
             self._pool = jnp.zeros((8, 3, ha, wa), jnp.int32)
-            self._ring = jnp.zeros((self.RING, nout), jnp.uint8)
+            self._ring = jnp.zeros((self.RING, nout), odt)
             self._pool_geom = geom
             self._slot_dirty = [True] * 8
         return ha, wa
@@ -534,7 +536,7 @@ class TpuReconFused:
     def _sync_slot(self, i, rb):
         """Queue a host RefBuffer push into device pool slot i (ordered
         with the queued steps)."""
-        ha, wa = self._pool_geom
+        ha, wa = self._pool_geom[:2]
         canvas = np.zeros((3, ha, wa), np.int32)
         for p in range(3):
             pl = rb.planes[p]
@@ -604,8 +606,9 @@ class TpuReconFused:
         jnp = self.jnp
         hdr = plan.hdr
         tier = "full" if hdr.frame_is_intra_only else "tight"
+        bd = hdr.bit_depth
         step, caps, layout = self.fused.get_frame_step(
-            hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless))
+            hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless), bd=bd)
 
         ha, wa = self._ensure_pool(plan)
         if self._ring_slot >= self.RING:
@@ -638,7 +641,7 @@ class TpuReconFused:
             # (the host oracle is ~100x slower than a wide-step dispatch)
             tier = "wide"
             step, caps, layout = self.fused.get_frame_step(
-                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless))
+                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless), bd=bd)
             flat = pack_with(caps, layout)
         self._tw["pack"] += _time.time() - _tp0
         if flat is None:
@@ -656,7 +659,7 @@ class TpuReconFused:
         if comb is not None:
             step, _, _ = self.fused.get_frame_step(
                 hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless),
-                pages_tier=ptier)
+                bd=bd, pages_tier=ptier)
             payload = comb
         else:
             payload = flat
