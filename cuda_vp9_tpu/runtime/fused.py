@@ -184,7 +184,7 @@ def _intra_pass(F, R, chunks, chunk_bs, n_chunks, bd):
 
 def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                     layout, lossless: bool, bd: int = 8,
-                    pages_tier: int = 0):
+                    pages_tier: int = 0, jit_wrap: bool = True):
     """Build the jitted fused step for one frame geometry.
 
     step(pool, ring, kernels, flat_or_pages) -> (new_pool, new_ring)
@@ -204,7 +204,6 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
     R2, C2 = cdiv(mi_rows, 2), cdiv(mi_cols, 2)
     K = cdiv(layout.size, PAGE)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(pool, ring, kernels, flat):
         if pages_tier:
             hr = cdiv(2 * pages_tier, PAGE)
@@ -298,13 +297,51 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         ring = jax.lax.dynamic_update_index_in_dim(ring, out, misc[13], 0)
         return pool, ring
 
-    return step
+    if not jit_wrap:
+        return step  # raw body (vmapped by the batched multi-stream path)
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 # Module-level step cache: steps are pure functions of the geometry key, so
 # independent decoder instances (e.g. bench warmup vs timed run) share
 # compilations.
 _STEP_CACHE = {}
+_BATCH_CACHE = {}
+
+
+def get_batched_step(n_streams: int, mi_rows: int, mi_cols: int,
+                     lossless: bool, bd: int = 8, pages_tier: int = 0,
+                     mesh=None):
+    """(batched_step, caps, layout) for N same-geometry streams.
+
+    The per-frame step body is vmapped over a leading stream axis
+    (pool [N,8,3,ha,wa], ring [N,RING,nout], flat [N,...]) so N streams
+    reconstruct in ONE dispatch (SURVEY P7 / BASELINE config 5).  The
+    "wide" capacity tier is used so one compiled variant serves
+    keyframes, typical inter frames, and dense frames alike.  With a
+    `mesh`, the stream axis is sharded over the mesh's 'data' axis
+    (pure data parallelism: streams are independent, no collectives).
+    """
+    from . import pack
+    key = (n_streams, mi_rows, mi_cols, lossless, bd, pages_tier,
+           id(mesh) if mesh is not None else None)
+    if key not in _BATCH_CACHE:
+        caps = pack.compute_caps(mi_rows, mi_cols, "wide", lossless)
+        layout = pack.build_layout(caps, mi_rows, mi_cols, lossless, bd)
+        body = make_frame_step(mi_rows, mi_cols, caps, layout, lossless,
+                               bd, pages_tier, jit_wrap=False)
+        vstep = jax.vmap(body, in_axes=(0, 0, None, 0))
+        if mesh is None:
+            step = jax.jit(vstep, donate_argnums=(0, 1))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            step = jax.jit(vstep, donate_argnums=(0, 1),
+                           in_shardings=(data, data, repl, data),
+                           out_shardings=(data, data))
+        _BATCH_CACHE[key] = (step, caps, layout)
+    return _BATCH_CACHE[key]
 
 
 def get_frame_step(mi_rows: int, mi_cols: int, tier: str, lossless: bool,

@@ -66,3 +66,343 @@ class MultiStreamDecoder:
     def stats(self):
         return [{"device": r.frames_on_device, "host": r.frames_on_host}
                 for r in self.recons]
+
+
+# --------------------------------------------------------------- batched
+
+
+_BFETCH_CACHE = {}
+
+
+def _bfetcher(slot, dtype, shape):
+    """jitted r[:, slot:slot+1] ring-slot slice for a batched ring
+    [N, RING, nout] (static bounds: no scalar transfer)."""
+    key = (slot, dtype, shape)
+    fn = _BFETCH_CACHE.get(key)
+    if fn is None:
+        import jax
+        fn = jax.jit(lambda r: jax.lax.slice_in_dim(r, slot, slot + 1,
+                                                    axis=1))
+        _BFETCH_CACHE[key] = fn
+    return fn
+
+
+class _BatchLazyPlanes:
+    """Planes of one stream's device-decoded frame in a batched round."""
+
+    def __init__(self, group, stream, slot, ha, wa, bd):
+        self._group = group
+        self._stream = stream
+        self._slot = slot
+        self._geom = (ha, wa)
+        self._bd = bd
+        self._planes = None
+        self._fut = None       # (future -> np [N, k, nout], row index k)
+
+    def _set_from_row(self, row):
+        import numpy as np
+        ha, wa = self._geom
+        hc, wc = ha >> 1, wa >> 1
+        ny, nc = ha * wa, hc * wc
+        self._planes = [
+            row[:ny].reshape(ha, wa).astype(np.uint16),
+            row[ny:ny + nc].reshape(hc, wc).astype(np.uint16),
+            row[ny + nc:ny + 2 * nc].reshape(hc, wc).astype(np.uint16)]
+
+    def _force(self):
+        if self._planes is None:
+            if self._fut is None:
+                self._group.flush()
+            fut, k = self._fut
+            self._set_from_row(fut.result()[self._stream, k])
+        return self._planes
+
+    def __getitem__(self, i):
+        return self._force()[i]
+
+    def __len__(self):
+        return 3
+
+    def __iter__(self):
+        return iter(self._force())
+
+
+class BatchedRecon:
+    """Per-stream recon facade over a shared _BatchGroup.
+
+    Presents the same recon_fn interface as TpuReconFused, but instead
+    of dispatching per frame it buffers the packed payload; the group
+    dispatches ONE vmapped step for all streams per round."""
+
+    def __init__(self, group, stream):
+        self._g = group
+        self._s = stream
+        self.frames_on_device = 0
+        self.frames_on_host = 0
+
+    def __call__(self, plan, refs):
+        out = self._g.recon(self._s, plan, refs)
+        if isinstance(out, _BatchLazyPlanes):
+            self.frames_on_device += 1
+        else:
+            self.frames_on_host += 1
+        return out
+
+    def flush(self):
+        self._g.flush()
+
+
+class BatchedFusedDecoder:
+    """N same-geometry streams decoded in lockstep: one vmapped fused
+    dispatch reconstructs frame i of EVERY stream (SURVEY P7; BASELINE
+    config 5).  With a `jax.sharding.Mesh`, the stream axis is sharded
+    over the mesh's 'data' axis so streams scale over chips with no
+    cross-chip communication.
+
+    Usage:
+        bd = BatchedFusedDecoder(n_streams=16, mesh=None)
+        for round_packets in zip(*stream_packet_lists):
+            bd.decode_round(list(round_packets))
+        for s, frame in bd.drain():
+            ...
+    """
+
+    RING = 32
+
+    def __init__(self, n_streams: int, mesh=None,
+                 validate_against_oracle: bool = False):
+        from ..utils.jaxcache import enable_persistent_cache
+        enable_persistent_cache()
+        import concurrent.futures as _cf
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from .. import models as M
+        self.jax, self.jnp, self.np = jax, jnp, np
+        self.n = n_streams
+        self.mesh = mesh
+        self.validate = validate_against_oracle
+        self.kernels = jnp.asarray(M.FILTER_KERNELS.astype(np.int32))
+        self.recons = [BatchedRecon(self, s) for s in range(n_streams)]
+        self.decs = [NativeVp9Decoder(recon_fn=r) for r in self.recons]
+        self._geom = None          # (ha, wa, bd)
+        self._caps = self._layout = None
+        self._pool = None          # [N, 8, 3, ha, wa] int32
+        self._ring = None          # [N, RING, nout]
+        self._ring_slot = 0
+        self._slot_dirty = [[True] * 8 for _ in range(n_streams)]
+        self._round_flats = [None] * n_streams
+        self._round_lps = [None] * n_streams
+        self._syncs = []           # (stream, slot, canvas) pool updates
+        self._pending = []
+        self._out = [[] for _ in range(n_streams)]
+        self._d2h_pool = _cf.ThreadPoolExecutor(max_workers=1)
+
+    # ------------------------------------------------------------ state
+
+    def _ensure_state(self, hdr):
+        jnp = self.jnp
+        wa = ((hdr.mi_cols + 7) & ~7) * 8
+        ha = ((hdr.mi_rows + 7) & ~7) * 8
+        geom = (ha, wa, hdr.bit_depth)
+        if self._geom is None:
+            from . import fused
+            self._geom = geom
+            self._mi_rows, self._mi_cols = hdr.mi_rows, hdr.mi_cols
+            self._lossless = bool(hdr.lossless)
+            _, self._caps, self._layout = fused.get_batched_step(
+                self.n, hdr.mi_rows, hdr.mi_cols, self._lossless,
+                hdr.bit_depth, mesh=self.mesh)
+            nout = ha * wa + 2 * ((ha >> 1) * (wa >> 1))
+            odt = jnp.uint8 if hdr.bit_depth == 8 else jnp.int16
+            pool = jnp.zeros((self.n, 8, 3, ha, wa), jnp.int32)
+            ring = jnp.zeros((self.n, self.RING, nout), odt)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.mesh, P("data"))
+                pool = self.jax.device_put(pool, sh)
+                ring = self.jax.device_put(ring, sh)
+            self._pool, self._ring = pool, ring
+        elif self._geom != geom:
+            raise ValueError("batched decode requires constant geometry "
+                             f"(have {self._geom}, got {geom})")
+        return ha, wa
+
+    # ------------------------------------------------------------ recon
+
+    def _can_run_on_device(self, plan, refs):
+        hdr = plan.hdr
+        if hdr.bit_depth not in (8, 10, 12):
+            return False
+        if hdr.subsampling_x != 1 or hdr.subsampling_y != 1:
+            return False
+        if not hdr.frame_is_intra_only:
+            for rb in refs.values():
+                if rb is not None and (rb.width != hdr.width
+                                       or rb.height != hdr.height):
+                    return False
+        return True
+
+    def recon(self, s, plan, refs):
+        from ..ops.ref import recon as ref_recon
+        np = self.np
+        hdr = plan.hdr
+        if self._geom is not None \
+                and bool(hdr.lossless) != self._lossless:
+            # per-frame lossless flips need a different step layout:
+            # host oracle for the odd frame
+            planes = ref_recon.reconstruct_frame(plan, refs)
+            for i in range(8):
+                if hdr.refresh_frame_flags & (1 << i):
+                    self._slot_dirty[s][i] = True
+            return planes
+        if not self._can_run_on_device(plan, refs):
+            planes = ref_recon.reconstruct_frame(plan, refs)
+            for i in range(8):
+                if hdr.refresh_frame_flags & (1 << i):
+                    self._slot_dirty[s][i] = True
+            return planes
+        if self._round_lps[s] is not None:
+            # superframe: this stream produced a second frame in one
+            # packet -- dispatch the in-flight round first
+            self._dispatch_round()
+        ha, wa = self._ensure_state(hdr)
+        slot = self._ring_slot
+        nparser = getattr(plan, "native_parser", None)
+        if nparser is not None:
+            flat = nparser.pack(plan, refs, self._caps, self._layout,
+                                ring_slot=slot)
+        else:
+            from . import pack as packmod
+            flat = packmod.pack_frame(plan, refs, self._caps, self._layout)
+            if flat is not None:
+                self._layout.view(flat, "misc")[13] = slot
+        if flat is None:   # cannot happen with wide caps, but be safe
+            planes = ref_recon.reconstruct_frame(plan, refs)
+            for i in range(8):
+                if hdr.refresh_frame_flags & (1 << i):
+                    self._slot_dirty[s][i] = True
+            return planes
+        if not hdr.frame_is_intra_only:
+            for k, rb in refs.items():
+                if rb is None:
+                    continue
+                rslot = hdr.ref_frame_idx[k - 1]
+                if self._slot_dirty[s][rslot]:
+                    canvas = np.zeros((3, ha, wa), np.int32)
+                    for p in range(3):
+                        pl = rb.planes[p]
+                        canvas[p, :pl.shape[0], :pl.shape[1]] = pl
+                    self._syncs.append((s, rslot, canvas))
+                    self._slot_dirty[s][rslot] = False
+        lp = _BatchLazyPlanes(self, s, slot, ha, wa, hdr.bit_depth)
+        self._round_flats[s] = flat
+        self._round_lps[s] = lp
+        self._pending.append(lp)
+        for i in range(8):
+            if hdr.refresh_frame_flags & (1 << i):
+                self._slot_dirty[s][i] = False
+        return lp
+
+    # ------------------------------------------------------------ rounds
+
+    def decode_round(self, packets):
+        """Feed one packet per stream (None = no data for that stream
+        this round) and dispatch ONE batched device step."""
+        for s, p in enumerate(packets):
+            if p is not None:
+                self.decs[s].decode(p)
+                self._out[s].extend(self.decs[s].frames())
+        self._dispatch_round()
+
+    def _dispatch_round(self):
+        import time as _time
+        jax, jnp, np = self.jax, self.jnp, self.np
+        if self._geom is None:
+            return
+        from . import fused, pack as packmod
+        from .pipeline import _tier_ladder
+        if all(f is None for f in self._round_flats) and not self._syncs:
+            return
+        ha, wa, bd = self._geom
+        # ordered pool syncs for host-produced reference slots
+        for (s, i, canvas) in self._syncs:
+            self._pool = self._pool.at[s, i].set(jnp.asarray(canvas))
+        self._syncs = []
+        if all(f is None for f in self._round_flats):
+            return
+        PAGE = packmod.PAGE
+        nflat = (self._layout.size + PAGE - 1) // PAGE * PAGE
+        K = nflat // PAGE
+        # zero payload = identity step for streams with no frame
+        flats = [f if f is not None else np.zeros(nflat, np.int16)
+                 for f in self._round_flats]
+        # shared page tier: smallest that fits every stream's frame
+        try:
+            from ..native import native_compact, native_count_pages
+            nzp = max(native_count_pages(f, K) for f in flats)
+        except Exception:
+            native_compact = None
+            nzp = max(int(f.reshape(K, PAGE).any(axis=1).sum())
+                      for f in flats)
+        tier = next((t for t in _tier_ladder(K) if nzp <= t), None)
+        if tier is not None:
+            if native_compact is not None:
+                combs = [native_compact(f, K, tier) for f in flats]
+            else:
+                combs = [self._np_compact(f, K, tier, PAGE) for f in flats]
+            payload = np.stack(combs)
+        else:
+            payload = np.stack(flats)
+            tier = 0
+        step, _, _ = fused.get_batched_step(
+            self.n, self._mi_rows, self._mi_cols, self._lossless, bd,
+            pages_tier=tier, mesh=self.mesh)
+        self._pool, self._ring = step(self._pool, self._ring,
+                                      self.kernels, jnp.asarray(payload))
+        # one background fetch of this round's ring rows for all streams
+        lps = [lp for lp in self._round_lps if lp is not None]
+        slot = self._ring_slot
+        fetchslice = _bfetcher(slot, self._ring.dtype.str,
+                               self._ring.shape)
+        fut = self._d2h_pool.submit(
+            np.asarray, fetchslice(self._ring))
+        for lp in lps:
+            lp._fut = (fut, 0)
+        self._round_flats = [None] * self.n
+        self._round_lps = [None] * self.n
+        self._ring_slot = (self._ring_slot + 1) % self.RING
+        if self._ring_slot == 0:
+            self._pending = [lp for lp in self._pending
+                             if lp._planes is not None or lp._fut is not None]
+
+    @staticmethod
+    def _np_compact(flat, K, tier, PAGE):
+        import numpy as np
+        pg = flat.reshape(K, PAGE)
+        nz = np.flatnonzero(pg.any(axis=1))
+        hr = (2 * tier + PAGE - 1) // PAGE
+        comb = np.zeros((hr + tier, PAGE), np.int16)
+        head = comb[:hr].reshape(-1)
+        head[0:2 * len(nz):2] = nz & 0x7FFF
+        head[1:2 * len(nz):2] = nz >> 15
+        head[2 * len(nz):2 * tier] = 0x7FFF
+        comb[hr:hr + len(nz)] = pg[nz]
+        return comb
+
+    # ------------------------------------------------------------ output
+
+    def flush(self):
+        self._dispatch_round()
+        for lp in self._pending:
+            if isinstance(lp, _BatchLazyPlanes):
+                lp._force()
+        self._pending = []
+
+    def drain(self):
+        """Yield (stream, DecodedFrame) for everything decoded so far."""
+        self.flush()
+        for s in range(self.n):
+            for fr in self._out[s]:
+                yield s, fr
+            self._out[s] = []

@@ -43,3 +43,53 @@ def test_two_streams_interleaved():
         assert got[s] == goldens[s][:len(got[s])]
         assert len(got[s]) == len(goldens[s])
     assert all(st["device"] + st["host"] > 0 for st in msd.stats())
+
+
+@pytest.mark.slow
+def test_batched_lockstep_decode():
+    """BatchedFusedDecoder: N copies of a stream decode in lockstep with
+    ONE vmapped device dispatch per round, bit-exact per stream."""
+    from cuda_vp9_tpu.runtime.multistream import BatchedFusedDecoder
+
+    _, ivf, md5 = FIX["in01_176x144"]
+    with IvfReader(str(ivf)) as r:
+        packets = [d for d, _ in r][:6]
+    golden = [line.split()[0]
+              for line in md5.read_text().splitlines()][:6]
+
+    N = 4
+    bd = BatchedFusedDecoder(n_streams=N)
+    for p in packets:
+        bd.decode_round([p] * N)
+    got = {s: [] for s in range(N)}
+    for s, fr in bd.drain():
+        got[s].append(frame_md5(fr.visible_planes()))
+    for s in range(N):
+        assert got[s] == golden, f"stream {s} mismatch"
+    assert all(r.frames_on_device == 6 for r in bd.recons)
+
+
+@pytest.mark.slow
+def test_batched_mixed_streams():
+    """Two different same-geometry streams in one batch."""
+    from cuda_vp9_tpu.runtime.multistream import BatchedFusedDecoder
+
+    names = ["in01_176x144", "kf02_176x144"]
+    packets, goldens = [], []
+    for nm in names:
+        _, ivf, md5 = FIX[nm]
+        with IvfReader(str(ivf)) as r:
+            packets.append([d for d, _ in r][:4])
+        goldens.append([line.split()[0]
+                        for line in md5.read_text().splitlines()][:4])
+
+    bd = BatchedFusedDecoder(n_streams=2)
+    rounds = max(len(p) for p in packets)
+    for i in range(rounds):
+        bd.decode_round([p[i] if i < len(p) else None for p in packets])
+    got = [[], []]
+    for s, fr in bd.drain():
+        got[s].append(frame_md5(fr.visible_planes()))
+    for s in range(2):
+        assert got[s] == goldens[s][:len(got[s])], f"stream {s}"
+        assert len(got[s]) == len(goldens[s][:4])

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 import __graft_entry__ as ge
 
@@ -14,5 +15,9 @@ def test_entry_compiles():
     assert ring.shape[0] == 32
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
+    # decodes real fixtures through the batched fused step sharded over
+    # the 8-device virtual mesh and asserts golden MD5s (slow: first run
+    # compiles the vmapped step; cached in .jax_cache afterwards)
     ge.dryrun_multichip(8)
