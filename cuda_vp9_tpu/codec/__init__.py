@@ -124,12 +124,30 @@ class _Vp9DecoderIface:
             return Vp9Decoder(recon_fn=recon_fn), recon_fn
 
 
+class _Vp8DecoderIface:
+    """vpx_codec_vp8_dx_algo parity (vp8/vp8_dx_iface.c:731).
+
+    Keyframe decode slice; inter frames raise (pending)."""
+
+    name = "cuda-vp9-tpu VP8 Decoder"
+
+    def make_decoder(self, cfg: DecCfg, use_device: bool):
+        from ..vp8 import Vp8StreamDecoder
+        return Vp8StreamDecoder(), None
+
+
 _VP9_IFACE = _Vp9DecoderIface()
+_VP8_IFACE = _Vp8DecoderIface()
 
 
 def vp9_dx():
     """vpx_codec_vp9_dx() parity."""
     return _VP9_IFACE
+
+
+def vp8_dx():
+    """vpx_codec_vp8_dx() parity."""
+    return _VP8_IFACE
 
 
 class CodecCtx:

@@ -20,7 +20,8 @@ class BoolDecoder:
     __slots__ = ("data", "pos", "end", "value", "range", "bits", "_virtual",
                  "marker_bad")
 
-    def __init__(self, data, start: int = 0, size: int | None = None):
+    def __init__(self, data, start: int = 0, size: int | None = None,
+                 marker: bool = True):
         self.data = data
         self.pos = start
         self.end = start + (len(data) - start if size is None else size)
@@ -30,8 +31,9 @@ class BoolDecoder:
         self._virtual = 0  # zero bytes synthesized past the end (overrun)
         self._fill()
         # vpx_reader_init consumes a marker bit that must decode to zero
-        # (vpx_dsp/bitreader.c:38 `return vpx_read_bit(r) != 0`)
-        self.marker_bad = self.read_bit() != 0
+        # (vpx_dsp/bitreader.c:38 `return vpx_read_bit(r) != 0`).  VP8's
+        # bool decoder (RFC 6386 §7.1) has no marker bit: marker=False.
+        self.marker_bad = (self.read_bit() != 0) if marker else False
 
     def _fill(self):
         # Load up to 7 bytes at a time into the low bits of the window.

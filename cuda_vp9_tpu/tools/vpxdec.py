@@ -61,7 +61,16 @@ def main(argv=None):
         os.environ["CUDA_VP9_TPU_HOST_RECON"] = "1"
 
     ctx = CodecCtx()
+    # pick the codec by container fourcc (vpxdec.c probes the input)
+    from ..codec import vp8_dx
     base = vp9_dx()
+    try:
+        from ..containers import IvfReader
+        with IvfReader(args.input) as probe:
+            if probe.fourcc == b"VP80":
+                base = vp8_dx()
+    except Exception:
+        pass
     iface = base
     if args.host_recon:
         class _HostIface:

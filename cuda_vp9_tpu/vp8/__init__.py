@@ -1,0 +1,29 @@
+"""VP8 decode (RFC 6386).
+
+Keyframe decode slice of the reference's vp8/ codec (SURVEY S18):
+host entropy parse + NumPy reconstruction, validated per-frame against
+libavcodec's normative `vp8` decoder MD5s.  Inter frames and the
+device recon path follow the VP9 host-parse + fused-step shape.
+"""
+
+from .decoder import Vp8Error, Vp8KeyframeDecoder  # noqa: F401
+
+
+class Vp8StreamDecoder:
+    """Stream-level VP8 decoder with the same decode()/frames() surface
+    as NativeVp9Decoder (so the codec API and vpxdec work unchanged)."""
+
+    def __init__(self, recon_fn=None):
+        self._dec = Vp8KeyframeDecoder()
+        self._out = []
+
+    def decode(self, data: bytes) -> None:
+        from ..decoder.frame import DecodedFrame
+        hdr, planes = self._dec.decode(data)
+        if hdr.show_frame:
+            self._out.append(DecodedFrame(
+                list(planes), hdr.width, hdr.height, 8, 1, 1))
+
+    def frames(self):
+        out, self._out = self._out, []
+        return out

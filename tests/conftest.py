@@ -30,10 +30,16 @@ def fixtures_dir() -> pathlib.Path:
     return FIXTURES
 
 
-def fixture_streams(prefix: str = ""):
-    """(name, ivf_path, md5_path) for every checked-in fixture stream."""
+def fixture_streams(prefix: str = "", codec: str = "vp9"):
+    """(name, ivf_path, md5_path) for every checked-in fixture stream.
+
+    VP8 fixtures use the `v8` name prefix and are excluded from the VP9
+    sweeps (and vice versa)."""
     out = []
     for ivf in sorted(FIXTURES.glob(f"{prefix}*.ivf")):
+        is_vp8 = ivf.stem.startswith("v8")
+        if (codec == "vp8") != is_vp8:
+            continue
         md5 = ivf.with_suffix(".md5")
         out.append((ivf.stem, ivf, md5))
     return out

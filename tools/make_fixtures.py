@@ -115,7 +115,24 @@ def main():
     gen("p2_01_176x144_10b", 176, 144, 8, ["gop=4", "crf=30", "cpu_used=2",
                                            "bitdepth=10", "profile=2"],
         bitdepth=10)
+    # --- VP8 (keyframe-only; golden MD5s from the normative `vp8`
+    # libavcodec decoder) ---
+    gen_vp8("v8kf01_176x144", 176, 144, 4, ["gop=1", "crf=30", "cpu_used=2"])
+    gen_vp8("v8kf02_320x240", 320, 240, 3, ["gop=1", "crf=30", "cpu_used=2"])
     print("fixtures written to", FIXDIR)
+
+
+def gen_vp8(name: str, w: int, h: int, n: int, enc_opts: list[str],
+            seed: int = 7):
+    os.makedirs(FIXDIR, exist_ok=True)
+    yuv = os.path.join("/tmp", f"fix_{name}.yuv")
+    with open(yuv, "wb") as f:
+        f.write(synth_video(w, h, n, seed=seed))
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    run([ORACLE_BIN, "encode", str(w), str(h), yuv, ivf, "codec=libvpx"]
+        + enc_opts)
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp8"])
 
 
 if __name__ == "__main__":

@@ -37,11 +37,15 @@ static void w64(FILE *f, uint64_t v) { w32(f, (unsigned)(v & 0xffffffffu)); w32(
 static unsigned r16(FILE *f) { int a = fgetc(f), b = fgetc(f); return (unsigned)a | ((unsigned)b << 8); }
 static unsigned r32(FILE *f) { unsigned a = r16(f), b = r16(f); return a | (b << 16); }
 
-static void ivf_write_header(FILE *f, int w, int h, int fps, unsigned count) {
+static void ivf_write_header2(FILE *f, const char *fourcc, int w, int h,
+                              int fps, unsigned count) {
     fseek(f, 0, SEEK_SET);
     fwrite("DKIF", 1, 4, f); w16(f, 0); w16(f, 32);
-    fwrite("VP90", 1, 4, f); w16(f, w); w16(f, h);
+    fwrite(fourcc, 1, 4, f); w16(f, w); w16(f, h);
     w32(f, fps); w32(f, 1); w32(f, count); w32(f, 0);
+}
+static void ivf_write_header(FILE *f, int w, int h, int fps, unsigned count) {
+    ivf_write_header2(f, "VP90", w, h, fps, count);
 }
 
 /* ---------------- encode ---------------- */
@@ -52,8 +56,13 @@ static int do_encode(int argc, char **argv) {
     int fps = 30, crf = 32, bitrate = 0, gop = 9999, lossless = 0;
     int tile_cols = 0, cpu_used = 1, bitdepth = 8, profile = 0, aq_mode = 0, threads = 1;
     int lag = 0, auto_alt_ref = 0, frame_parallel = 0;
+    const char *enc_name = "libvpx-vp9";   /* codec=libvpx selects VP8 */
     for (int i = 4; i < argc; i++) {
         char key[64]; int val;
+        char sval[64];
+        if (sscanf(argv[i], "codec=%63s", sval) == 1) {
+            enc_name = strdup(sval); continue;
+        }
         if (sscanf(argv[i], "%63[^=]=%d", key, &val) != 2) die("bad key=val");
         if (!strcmp(key, "fps")) fps = val;
         else if (!strcmp(key, "crf")) crf = val;
@@ -72,8 +81,9 @@ static int do_encode(int argc, char **argv) {
         else die("unknown key");
     }
 
-    const AVCodec *codec = avcodec_find_encoder_by_name("libvpx-vp9");
-    if (!codec) die("no libvpx-vp9 encoder");
+    int is_vp8 = !strcmp(enc_name, "libvpx");
+    const AVCodec *codec = avcodec_find_encoder_by_name(enc_name);
+    if (!codec) die("encoder not found");
     AVCodecContext *c = avcodec_alloc_context3(codec);
     c->width = w; c->height = h;
     c->time_base = (AVRational){1, fps};
@@ -90,25 +100,27 @@ static int do_encode(int argc, char **argv) {
     if (bitrate == 0) c->bit_rate = 0; /* CQ mode */
     snprintf(buf, sizeof buf, "%d", cpu_used);
     av_opt_set(c->priv_data, "cpu-used", buf, 0);
-    snprintf(buf, sizeof buf, "%d", lossless);
-    av_opt_set(c->priv_data, "lossless", buf, 0);
-    snprintf(buf, sizeof buf, "%d", tile_cols);
-    av_opt_set(c->priv_data, "tile-columns", buf, 0);
-    snprintf(buf, sizeof buf, "%d", aq_mode);
-    av_opt_set(c->priv_data, "aq-mode", buf, 0);
+    if (!is_vp8) {
+        snprintf(buf, sizeof buf, "%d", lossless);
+        av_opt_set(c->priv_data, "lossless", buf, 0);
+        snprintf(buf, sizeof buf, "%d", tile_cols);
+        av_opt_set(c->priv_data, "tile-columns", buf, 0);
+        snprintf(buf, sizeof buf, "%d", aq_mode);
+        av_opt_set(c->priv_data, "aq-mode", buf, 0);
+        snprintf(buf, sizeof buf, "%d", frame_parallel);
+        av_opt_set(c->priv_data, "frame-parallel", buf, 0);
+    }
     snprintf(buf, sizeof buf, "%d", lag);
     av_opt_set(c->priv_data, "lag-in-frames", buf, 0);
     snprintf(buf, sizeof buf, "%d", auto_alt_ref);
     av_opt_set(c->priv_data, "auto-alt-ref", buf, 0);
-    snprintf(buf, sizeof buf, "%d", frame_parallel);
-    av_opt_set(c->priv_data, "frame-parallel", buf, 0);
     if (avcodec_open2(c, codec, NULL) < 0) die("encoder open failed");
 
     FILE *fin = fopen(in_path, "rb");
     if (!fin) die("cannot open input yuv");
     FILE *fout = fopen(out_path, "wb");
     if (!fout) die("cannot open output ivf");
-    ivf_write_header(fout, w, h, fps, 0);
+    ivf_write_header2(fout, is_vp8 ? "VP80" : "VP90", w, h, fps, 0);
 
     AVFrame *frame = av_frame_alloc();
     frame->format = c->pix_fmt; frame->width = w; frame->height = h;
@@ -148,7 +160,7 @@ static int do_encode(int argc, char **argv) {
         }
         if (!got) break;
     }
-    ivf_write_header(fout, w, h, fps, nout);
+    ivf_write_header2(fout, is_vp8 ? "VP80" : "VP90", w, h, fps, nout);
     fclose(fout); fclose(fin);
     fprintf(stderr, "encoded %u packets\n", nout);
     return 0;
