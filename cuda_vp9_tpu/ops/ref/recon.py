@@ -219,8 +219,14 @@ def _predict_inter_block(planes, mi, mi_row, mi_col, bsize, bwl, bhl,
                 bmi_mv = mi.bmi_mv[mi_row, mi_col]
                 for y in range(n4_h):
                     for x in range(n4_w):
+                        # the block index is the PLANE-raster 4x4 index
+                        # (vp9_reconinter.c build_inter_predictors is
+                        # called per plane block i = y*n4_w + x); for
+                        # 4:2:2 this makes chroma block 1 average luma
+                        # blocks 1 and 2 -- a reference quirk that is
+                        # normative
                         mv = inter.average_split_mv(bmi_mv, ref_i,
-                                                    y * 2 + x, sx, sy)
+                                                    y * n4_w + x, sx, sy)
                         _mc_unit(dst, ref_plane, crop_w, crop_h, mv,
                                  4 * x, 4 * y, 4, 4, mi_x, mi_y,
                                  mb_to_left, mb_to_top, mb_to_right,

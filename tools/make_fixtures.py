@@ -115,11 +115,46 @@ def main():
     gen("p2_01_176x144_10b", 176, 144, 8, ["gop=4", "crf=30", "cpu_used=2",
                                            "bitdepth=10", "profile=2"],
         bitdepth=10)
+    # --- profile 1 (4:4:4 / 4:2:2) ---
+    gen_ss("p1_01_176x144_444", 176, 144, 6, 444,
+           ["gop=3", "crf=30", "cpu_used=2"])
+    gen_ss("p1_02_176x144_422", 176, 144, 6, 422,
+           ["gop=3", "crf=30", "cpu_used=2"])
     # --- VP8 (keyframe-only; golden MD5s from the normative `vp8`
     # libavcodec decoder) ---
     gen_vp8("v8kf01_176x144", 176, 144, 4, ["gop=1", "crf=30", "cpu_used=2"])
     gen_vp8("v8kf02_320x240", 320, 240, 3, ["gop=1", "crf=30", "cpu_used=2"])
     print("fixtures written to", FIXDIR)
+
+
+def gen_ss(name: str, w: int, h: int, n: int, ss: int, enc_opts: list[str],
+           seed: int = 7):
+    """Profile-1 fixture at 4:2:2 (ss=422) or 4:4:4 (ss=444): luma from
+    synth_video, chroma upsampled to the target subsampling."""
+    import numpy as np
+    os.makedirs(FIXDIR, exist_ok=True)
+    i420 = np.frombuffer(synth_video(w, h, n, seed=seed), np.uint8)
+    fsz = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    cw = w if ss == 444 else (w + 1) // 2
+    ch = h if ss != 420 else (h + 1) // 2
+    out = bytearray()
+    for i in range(n):
+        f = i420[i * fsz:(i + 1) * fsz]
+        csz = ((w + 1) // 2) * ((h + 1) // 2)
+        y = f[:w * h].reshape(h, w)
+        u = f[w * h:w * h + csz].reshape((h + 1) // 2, (w + 1) // 2)
+        v = f[w * h + csz:].reshape((h + 1) // 2, (w + 1) // 2)
+        ur = np.kron(u, np.ones((2, 2), np.uint8))[:ch, :cw]
+        vr = np.kron(v, np.ones((2, 2), np.uint8))[:ch, :cw]
+        out += y.tobytes() + ur.tobytes() + vr.tobytes()
+    yuv = os.path.join("/tmp", f"fix_{name}.yuv")
+    with open(yuv, "wb") as fo:
+        fo.write(bytes(out))
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    run([ORACLE_BIN, "encode", str(w), str(h), yuv, ivf,
+         f"pixfmt={ss}", "profile=1"] + enc_opts)
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
 
 
 def gen_vp8(name: str, w: int, h: int, n: int, enc_opts: list[str],

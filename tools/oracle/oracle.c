@@ -20,6 +20,7 @@
  *   oracle decode <in.ivf> <out.md5> [raw_out.yuv] [codec=vp9|libvpx-vp9]
  */
 #include <libavcodec/avcodec.h>
+#include <libavutil/pixdesc.h>
 #include <libavutil/opt.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/md5.h>
@@ -56,6 +57,7 @@ static int do_encode(int argc, char **argv) {
     int fps = 30, crf = 32, bitrate = 0, gop = 9999, lossless = 0;
     int tile_cols = 0, cpu_used = 1, bitdepth = 8, profile = 0, aq_mode = 0, threads = 1;
     int lag = 0, auto_alt_ref = 0, frame_parallel = 0;
+    int ss = 420;                          /* pixfmt=420|422|444 */
     const char *enc_name = "libvpx-vp9";   /* codec=libvpx selects VP8 */
     for (int i = 4; i < argc; i++) {
         char key[64]; int val;
@@ -65,6 +67,7 @@ static int do_encode(int argc, char **argv) {
         }
         if (sscanf(argv[i], "%63[^=]=%d", key, &val) != 2) die("bad key=val");
         if (!strcmp(key, "fps")) fps = val;
+        else if (!strcmp(key, "pixfmt")) ss = val;
         else if (!strcmp(key, "crf")) crf = val;
         else if (!strcmp(key, "bitrate")) bitrate = val;
         else if (!strcmp(key, "gop")) gop = val;
@@ -89,6 +92,8 @@ static int do_encode(int argc, char **argv) {
     c->time_base = (AVRational){1, fps};
     c->framerate = (AVRational){fps, 1};
     c->pix_fmt = bitdepth == 10 ? AV_PIX_FMT_YUV420P10LE : AV_PIX_FMT_YUV420P;
+    if (ss == 422) c->pix_fmt = AV_PIX_FMT_YUV422P;
+    else if (ss == 444) c->pix_fmt = AV_PIX_FMT_YUV444P;
     c->gop_size = gop;
     c->max_b_frames = 0;
     c->thread_count = threads;
@@ -127,8 +132,10 @@ static int do_encode(int argc, char **argv) {
     av_frame_get_buffer(frame, 0);
     AVPacket *pkt = av_packet_alloc();
     int bytes_per = bitdepth == 10 ? 2 : 1;
+    int cw_full = ss == 444 ? w : (w + 1) / 2;
+    int ch_full = ss == 420 ? (h + 1) / 2 : h;
     size_t ysz = (size_t)w * h * bytes_per;
-    size_t csz = (size_t)((w + 1) / 2) * ((h + 1) / 2) * bytes_per;
+    size_t csz = (size_t)cw_full * ch_full * bytes_per;
     uint8_t *ybuf = malloc(ysz), *ubuf = malloc(csz), *vbuf = malloc(csz);
     unsigned nout = 0;
     int64_t pts = 0;
@@ -140,7 +147,7 @@ static int do_encode(int argc, char **argv) {
             av_frame_make_writable(frame);
             for (int r = 0; r < h; r++)
                 memcpy(frame->data[0] + r * frame->linesize[0], ybuf + (size_t)r * w * bytes_per, (size_t)w * bytes_per);
-            int cw = (w + 1) / 2, ch = (h + 1) / 2;
+            int cw = cw_full, ch = ch_full;
             for (int r = 0; r < ch; r++) {
                 memcpy(frame->data[1] + r * frame->linesize[1], ubuf + (size_t)r * cw * bytes_per, (size_t)cw * bytes_per);
                 memcpy(frame->data[2] + r * frame->linesize[2], vbuf + (size_t)r * cw * bytes_per, (size_t)cw * bytes_per);
@@ -214,14 +221,15 @@ static int do_decode(int argc, char **argv) {
             if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) break;
             if (ret < 0) die("receive_frame failed");
             int fw = frame->width, fh = frame->height;
-            int hbd = frame->format == AV_PIX_FMT_YUV420P10LE ||
-                      frame->format == AV_PIX_FMT_YUV420P12LE;
-            int bp = hbd ? 2 : 1;
+            const AVPixFmtDescriptor *pd = av_pix_fmt_desc_get(frame->format);
+            int bp = pd->comp[0].depth > 8 ? 2 : 1;
             struct AVMD5 *md5 = av_md5_alloc();
             av_md5_init(md5);
             for (int plane = 0; plane < 3; plane++) {
-                int pw = plane ? (fw + 1) / 2 : fw;
-                int ph = plane ? (fh + 1) / 2 : fh;
+                int pw = plane ? ((fw + (1 << pd->log2_chroma_w) - 1)
+                                  >> pd->log2_chroma_w) : fw;
+                int ph = plane ? ((fh + (1 << pd->log2_chroma_h) - 1)
+                                  >> pd->log2_chroma_h) : fh;
                 for (int r = 0; r < ph; r++) {
                     av_md5_update(md5, frame->data[plane] + (size_t)r * frame->linesize[plane], (size_t)pw * bp);
                     if (fraw) fwrite(frame->data[plane] + (size_t)r * frame->linesize[plane], 1, (size_t)pw * bp, fraw);
