@@ -163,6 +163,10 @@ class CodecCtx:
         self._frames = []
         self._corrupted = 0
         self._last = None
+        self._fb_get = None
+        self._fb_release = None
+        self._fb_priv = None
+        self._ext_fbs = []
 
 
 class FrameIter:
@@ -228,8 +232,80 @@ def vpx_codec_get_frame(ctx: CodecCtx, it: FrameIter) -> Optional[Image]:
                 f.ss_x if hasattr(f, "ss_x") else 1,
                 f.ss_y if hasattr(f, "ss_y") else 1)
     img.user_priv = user_priv
+    if ctx._fb_get is not None:
+        _attach_external_fb(ctx, img, f)
     ctx._last = img
     return img
+
+
+class FrameBuffer:
+    """vpx_codec_frame_buffer_t parity: the user's get callback fills
+    `data` (a writable buffer of >= min_size bytes) and `priv`."""
+
+    def __init__(self):
+        self.data = None
+        self.size = 0
+        self.priv = None
+
+
+def _attach_external_fb(ctx, img, frame):
+    """Realize the frame's pixels into a user-provided buffer
+    (vpx/vpx_frame_buffer.h semantics: get cb -> write -> the Image's
+    planes view the user's memory; release cb fires when the codec no
+    longer references it -- here, when the next frame displaces it or
+    the decoder is destroyed)."""
+    import numpy as np
+    planes = frame.visible_planes()
+    itemsize = 1 if frame.bit_depth == 8 else 2
+    min_size = sum(int(p.size) * itemsize for p in planes)
+    fb = FrameBuffer()
+    if ctx._fb_get(ctx._fb_priv, min_size, fb) != 0 or fb.data is None \
+            or fb.size < min_size:
+        ctx.err = VPX_CODEC_MEM_ERROR
+        return
+    buf = np.frombuffer(fb.data, np.uint8, count=fb.size)
+    off = 0
+    views = []
+    for p in planes:
+        n = int(p.size) * itemsize
+        dst = buf[off:off + n].view(p.dtype).reshape(p.shape)
+        dst[:] = p
+        views.append(dst)
+        off += n
+    img._planes = views
+    img.fb_priv = fb.priv
+    ctx._ext_fbs.append(fb)
+    # the pool holds at most the ref slots + this frame; approximate the
+    # reference's release timing by capping live external buffers
+    while len(ctx._ext_fbs) > 12:
+        ctx._fb_release(ctx._fb_priv, ctx._ext_fbs.pop(0))
+
+
+def vpx_codec_set_frame_buffer_functions(ctx: CodecCtx, cb_get, cb_release,
+                                         cb_priv=None) -> int:
+    """vpx_codec_set_frame_buffer_functions parity
+    (vpx/src/vpx_decoder.c:174).  Must be called after dec_init and
+    before the first decode."""
+    if ctx is None or cb_get is None or cb_release is None:
+        return VPX_CODEC_INVALID_PARAM
+    if ctx.iface is None or ctx._dec is None:
+        return VPX_CODEC_ERROR
+    if ctx._frames or ctx._last is not None:
+        return VPX_CODEC_ERROR  # after decoding started
+    ctx._fb_get = cb_get
+    ctx._fb_release = cb_release
+    ctx._fb_priv = cb_priv
+    return VPX_CODEC_OK
+
+
+def vpx_codec_release_frame_buffers(ctx: CodecCtx) -> None:
+    """Release every outstanding external frame buffer (decoder
+    teardown; vpx_codec_destroy analog for external FBs)."""
+    if ctx is None or ctx._fb_release is None:
+        return
+    for fb in ctx._ext_fbs:
+        ctx._fb_release(ctx._fb_priv, fb)
+    ctx._ext_fbs = []
 
 
 def vpx_codec_peek_stream_info(iface, data: bytes,

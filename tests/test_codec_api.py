@@ -67,3 +67,55 @@ def test_decode_corrupt_reports_error():
     rc = vpx_codec_decode(ctx, b"\x00\x01\x02\x03")
     assert rc != VPX_CODEC_OK
     assert vpx_codec_control(ctx, VP8D_GET_FRAME_CORRUPTED) == 1
+
+
+def test_external_frame_buffers():
+    """vpx_codec_set_frame_buffer_functions parity: decoded frames land
+    in user-provided buffers (vpx/vpx_frame_buffer.h; exercised by the
+    reference's vpxdec --frame-buffers)."""
+    import numpy as np
+    from cuda_vp9_tpu.codec import (CodecCtx, DecCfg, FrameIter, vp9_dx,
+                                    vpx_codec_dec_init, vpx_codec_decode,
+                                    vpx_codec_get_frame,
+                                    vpx_codec_release_frame_buffers,
+                                    vpx_codec_set_frame_buffer_functions,
+                                    VPX_CODEC_OK, VPX_CODEC_INVALID_PARAM)
+    from cuda_vp9_tpu.containers import IvfReader
+    from cuda_vp9_tpu.utils.md5 import frame_md5
+    from conftest import FIXTURES
+
+    got_calls = []
+    released = []
+
+    def cb_get(priv, min_size, fb):
+        fb.data = bytearray(min_size)
+        fb.size = min_size
+        fb.priv = len(got_calls)
+        got_calls.append(min_size)
+        return 0
+
+    def cb_release(priv, fb):
+        released.append(fb.priv)
+        return 0
+
+    ivf = FIXTURES / "kf02_176x144.ivf"
+    want = [l.split()[0] for l in
+            (FIXTURES / "kf02_176x144.md5").read_text().splitlines()]
+    ctx = CodecCtx()
+    assert vpx_codec_dec_init(ctx, vp9_dx(), DecCfg()) == 0
+    assert vpx_codec_set_frame_buffer_functions(
+        ctx, cb_get, cb_release, None) == VPX_CODEC_OK
+    assert vpx_codec_set_frame_buffer_functions(
+        ctx, None, cb_release) == VPX_CODEC_INVALID_PARAM
+    got = []
+    with IvfReader(str(ivf)) as r:
+        for data, _pts in r:
+            assert vpx_codec_decode(ctx, data) == 0
+            it = FrameIter()
+            while (img := vpx_codec_get_frame(ctx, it)) is not None:
+                assert img.fb_priv == len(got)   # user priv round-trips
+                got.append(frame_md5([np.asarray(p) for p in img.planes]))
+    assert got == want[:len(got)] and len(got) > 0
+    assert len(got_calls) == len(got)
+    vpx_codec_release_frame_buffers(ctx)
+    assert sorted(released) == list(range(len(got)))
