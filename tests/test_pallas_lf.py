@@ -88,8 +88,9 @@ def _ref_filter(planes, meta_y, meta_uv, thr, bd):
 
 @pytest.mark.parametrize("sbr,sbc,bd,seed", [
     (1, 1, 8, 0),
-    (2, 3, 8, 1),
-    (5, 2, 8, 2),      # exercises a second K=4 row-band group
+    pytest.param(2, 3, 8, 1, marks=pytest.mark.slow),
+    # exercises a second K=4 row-band group
+    pytest.param(5, 2, 8, 2, marks=pytest.mark.slow),
     (2, 2, 10, 3),     # high bit depth thresholds
 ])
 def test_pallas_lf_matches_oracle(sbr, sbc, bd, seed):
