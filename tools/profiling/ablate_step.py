@@ -6,7 +6,7 @@ os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import numpy as np
 from cuda_vp9_tpu.containers import IvfReader
 from cuda_vp9_tpu.native import NativeParser
-from cuda_vp9_tpu.runtime.pipeline import TpuReconFused, _pages_tier
+from cuda_vp9_tpu.runtime.pipeline import TpuReconFused
 from cuda_vp9_tpu.ops.ref.recon import RefBuffer
 import cuda_vp9_tpu.runtime.pack as pack
 import jax.numpy as jnp
@@ -44,7 +44,7 @@ def run(tag, mods):
     global pool, ring
     flat = flat0.copy()
     misc = layout.view(flat, "misc")
-    misc[5:13] = 0
+    misc[5:13] = 0  # no pool refresh (keeps the loop re-runnable)
     for k, v in mods.items():
         misc[k] = v
     fd = jnp.asarray(flat); fd.block_until_ready()
@@ -57,8 +57,10 @@ def run(tag, mods):
     print(f"{tag}: min {1e3*min(ts):.1f} ms", flush=True)
 
 print("misc:", list(layout.view(flat0, "misc")))
+NORES = {k: 0 for k in range(16, 23)}
 run("full", {})
 run("no-lf", {4: 0})
 run("no-intra", {3: 0})
 run("no-mc", {0: 0, 1: 0, 2: 0})
-run("nothing", {0: 0, 1: 0, 2: 0, 3: 0, 4: 0})
+run("no-resid", dict(NORES))
+run("nothing", {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, **NORES})
