@@ -45,17 +45,19 @@ def test_parse_all_fixture_headers(name, ivf, md5):
         assert (hdr.width, hdr.height) == (cw, ch)
         # bit depth / colorspace are sticky decoder state: only key and
         # intra-only frames re-code them (vp9_decodeframe.c:3054)
-        if hdr.frame_is_intra_only:
-            assert hdr.bit_depth == (10 if "10b" in name else 8)
         want_profile = 2 if "10b" in name else (1 if name.startswith("p1_")
                                                 else 0)
         assert hdr.profile == want_profile
-        if "444" in name:
-            assert hdr.subsampling_x == 0 and hdr.subsampling_y == 0
-        elif "422" in name:
-            assert hdr.subsampling_x == 1 and hdr.subsampling_y == 0
-        else:
-            assert hdr.subsampling_x == 1 and hdr.subsampling_y == 1
+        # bit depth / subsampling are sticky decoder state: only key and
+        # intra-only frames re-code them (vp9_decodeframe.c:3054)
+        if hdr.frame_is_intra_only:
+            assert hdr.bit_depth == (10 if "10b" in name else 8)
+            if "444" in name:
+                assert hdr.subsampling_x == 0 and hdr.subsampling_y == 0
+            elif "422" in name:
+                assert hdr.subsampling_x == 1 and hdr.subsampling_y == 0
+            else:
+                assert hdr.subsampling_x == 1 and hdr.subsampling_y == 1
         if "_t2" in name:
             assert hdr.log2_tile_cols == 1
         if "lossless" in name:
