@@ -138,11 +138,13 @@ def native_count_pages(flat: np.ndarray, n_pages: int) -> int:
 
 def native_compact(flat: np.ndarray, n_pages: int, tier: int):
     """Zero-page compaction in C++ (mirrors TpuReconFused._compact).
-    Returns the compacted [hr + tier, PAGE] int16 array or None (dense)."""
+    Gather layout: [hr] header rows with g[K] int16 page map, then
+    [1 + tier] pages (row 0 = shared zero page).  Returns the compacted
+    [hr + 1 + tier, PAGE] int16 array or None (dense)."""
     lib = _load()
     PAGE = 512
-    hr = (2 * tier + PAGE - 1) // PAGE
-    out = np.empty((hr + tier, PAGE), np.int16)
+    hr = (n_pages + PAGE - 1) // PAGE
+    out = np.empty((hr + 1 + tier, PAGE), np.int16)
     nz = lib.vp9h_compact(
         flat.ctypes.data_as(ct.POINTER(ct.c_int16)), n_pages, tier,
         out.ctypes.data_as(ct.POINTER(ct.c_int16)))

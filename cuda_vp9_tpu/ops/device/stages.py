@@ -3,9 +3,10 @@
 The TPU-native re-design of the reference's CUDA reconstruction
 (vpx-master/inter_cuda_kernel.cu, intra_cuda_kernel.cu): batched,
 fixed-shape, integer-exact stages that XLA compiles onto the TPU —
-residual scatter from batched inverse transforms, bucketed sub-pel motion
-compensation, and wavefront-batched intra prediction with closed-form
-directional predictors.
+wavefront-batched intra prediction with closed-form directional
+predictors, consumed by the fused frame step (runtime/fused.py).  The
+residual and inter-MC stages live directly in runtime/fused.py (banded
+segment-window MXU matmuls + gather landing).
 
 All arithmetic is int32 (sufficient for the 8-bit profile; the 16-bit
 WRAPLOW points bound every product below 2^30).
@@ -18,85 +19,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from ..ref import transforms as T
-
-# --------------------------------------------------------------- residual
-
-
-@functools.partial(jax.jit, static_argnames=("tx_size", "tx_type",
-                                             "lossless", "bd"))
-def residual_scatter(R, coeffs, plane, y0, x0, tx_size: int, tx_type: int,
-                     lossless: bool, bd: int):
-    """Inverse-transform one bucket and scatter into the residual planes.
-
-    R: [3, H, W] int32; coeffs: [N, n*n] int32; positions in pixels
-    (padded entries carry y0 = -32768 and are dropped by the scatter).
-    """
-    if lossless:
-        resid = T.inv_wht2d(coeffs, bd, xp=jnp, work_dtype=jnp.int32)
-    else:
-        resid = T.inv_txfm2d(coeffs, tx_size, tx_type, bd, xp=jnp,
-                             work_dtype=jnp.int32)
-    n = 4 << tx_size
-    rows = y0[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]
-    cols = x0[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]
-    return R.at[plane[:, None, None], rows, cols].set(
-        resid.astype(jnp.int32), mode="drop")
-
-
-# --------------------------------------------------------------- inter MC
-
-def _clip_pixel(x, bd):
-    return jnp.clip(x, 0, (1 << bd) - 1)
-
-
-@functools.partial(jax.jit, static_argnames=("w", "h", "is_avg", "bd"))
-def mc_bucket(F, refs, kernels, plane, dx, dy, ref_slot, x0, y0,
-              subpel_x, subpel_y, filt, crop_w, crop_h,
-              w: int, h: int, is_avg: bool, bd: int):
-    """Unscaled sub-pel MC for one (w, h) bucket.
-
-    F: [3, H, W] int32 frame; refs: [S, 3, H, W] int32; kernels: [4, 16, 8]
-    int32 filter taps.  Edge handling is coordinate clamping at the
-    reference's crop dims (equivalent to build_mc_border).
-    Padded units carry dy = -32768 (scatter-dropped).
-    """
-    ih = h + 7
-    # horizontal pass
-    rows = jnp.clip(y0[:, None] - 3
-                    + jnp.arange(ih, dtype=jnp.int32)[None, :],
-                    0, crop_h[:, None] - 1)                       # [N, ih]
-    tap = jnp.arange(8, dtype=jnp.int32)
-    cols = jnp.clip((x0 + (subpel_x >> 4))[:, None, None] - 3
-                    + jnp.arange(w, dtype=jnp.int32)[None, :, None]
-                    + tap[None, None, :],
-                    0, crop_w[:, None, None] - 1)                 # [N, w, 8]
-    g = refs[ref_slot[:, None, None, None], plane[:, None, None, None],
-             rows[:, :, None, None], cols[:, None, :, :]]         # [N,ih,w,8]
-    fx = kernels[filt, subpel_x & 15]                             # [N, 8]
-    temp = _clip_pixel(
-        (jnp.sum(g * fx[:, None, None, :], axis=3) + 64) >> 7, bd)
-    # vertical pass (unscaled: integer source row offset is zero)
-    fy = kernels[filt, subpel_y & 15]                             # [N, 8]
-    idx_v = (jnp.arange(h, dtype=jnp.int32)[:, None] + tap[None, :])
-    gv = temp[:, idx_v]                                           # [N,h,8,w]
-    out = _clip_pixel(
-        (jnp.sum(gv * fy[:, None, :, None], axis=2) + 64) >> 7, bd)
-    rows_o = dy[:, None, None] + jnp.arange(h, dtype=jnp.int32)[None, :,
-                                                                None]
-    cols_o = dx[:, None, None] + jnp.arange(w, dtype=jnp.int32)[None, None,
-                                                                :]
-    if is_avg:
-        cur = F[plane[:, None, None], rows_o, cols_o]
-        out = (cur + out + 1) >> 1
-    return F.at[plane[:, None, None], rows_o, cols_o].set(out, mode="drop")
-
-
-@jax.jit
-def add_residual_masked(F, R, mask, maxval: int = 255):
-    """F = clip(F + R) where mask (inter-coded area), else F."""
-    return jnp.where(mask, jnp.clip(F + R, 0, maxval), F)
 
 
 # --------------------------------------------------------------- intra

@@ -66,86 +66,164 @@ def _residual_pass(R, coeffs, pos, tx_size, lossless, bd):
 # ----------------------------------------------------------------- inter
 
 
-def _mc_chunk(F, pool, kernels, hd, u, w, h, br, bd):
-    """Apply one chunk of MC tiles via banded one-hot MXU matmuls.
+def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
+    """Predict one chunk of MC tiles via segment-window MXU matmuls.
 
     u [CHUNK, 12] tile params; hd [4] = (slot, plane, srow): the whole
     chunk reads one [br, wa] row band of one reference plane (pack groups
-    chunks that way).  The horizontal 8-tap + edge clamp is expressed as
-    a [br, wa] x [N, wa, w] matmul with a per-tile banded filter matrix
-    (exact: coefficients and pixels are small integers, bf16 products
-    accumulate in f32), the source-row selection as a 0/1 matmul, and the
-    vertical 8-tap as static-slice multiply-adds.  ~20x faster than the
-    elementwise gather formulation on TPU (gathers don't vectorize;
-    matmuls ride the MXU)."""
+    chunks that way).  Three-stage formulation, all integer-exact:
+      1. a tiny one-hot over 8-column segments gathers a 32-wide window
+         per tile from the band (one MXU matmul) — 32 >= w + 7 taps + 7
+         intra-segment offset for every tile class;
+      2. a 0/1 row-selection matmul applies the normative vertical edge
+         clamp (23 rows of the window);
+      3. a per-tile [32, w] banded filter matrix applies the horizontal
+         8 taps WITH the in-window edge clamp (one MXU matmul).
+    The vertical 8-tap is static-slice multiply-adds in int32.  bf16
+    products are exact for 8-bit pixels x taps (f32 accumulate); high
+    bit depth uses f32 (exact to 2^24).  ~5x cheaper than a full-width
+    [wa, w] banded matrix: the filter operand is 32 wide, not wa."""
     N = u.shape[0]
-    wa = F.shape[2]
-    plane, dx = u[:, 0], u[:, 1]
-    # dy stored +1: zero entries are padding (zero-page elision)
-    dy = jnp.where(u[:, 2] == 0, -(1 << 20), u[:, 2] - 1)
+    wa = pool.shape[3]
     x0, y0, spx, spy = u[:, 4], u[:, 5], u[:, 6], u[:, 7]
-    filt, cw, chh, avg = u[:, 8], u[:, 9], u[:, 10], u[:, 11]
+    filt, cw, chh = u[:, 8], u[:, 9], u[:, 10]
     ih = h + 7
     maxv = (1 << bd) - 1
+    S = (wa + 32) // 8                       # segments incl. zero pad
 
     band = jax.lax.dynamic_slice(
         pool, (hd[0], hd[1], hd[2], 0), (1, 1, br, wa))[0, 0]
-    fx = kernels[filt, spx & 15]          # [N, 8]
+    band_r = jnp.pad(band, ((0, 0), (0, 32))).reshape(br, S, 8)
+    fx = kernels[filt, spx & 15]             # [N, 8]
     fy = kernels[filt, spy & 15]
     xs = x0 + (spx >> 4) - 3
-    # banded horizontal filter matrix Mh [N, wa, w]:
-    #   Mh[n, col, c] = sum_k fx[n, k] * [clip(xs+c+k, 0, cw-1) == col]
-    col = jnp.arange(wa, dtype=I32)[None, :, None]
-    c_idx = jnp.arange(w, dtype=I32)[None, None, :]
-    Mh = jnp.zeros((N, wa, w), jnp.float32)
-    for k in range(8):
-        tgt = jnp.clip(xs[:, None, None] + c_idx + k, 0,
-                       cw[:, None, None] - 1)
-        Mh = Mh + fx[:, k, None, None] * (tgt == col)
-    # P[n, b, c]: horizontally filtered value of band row b at dest col c.
-    # bf16 products are exact for 8-bit pixels (<=255) x filter taps
-    # (<=128); high-bit-depth pixels need f32 (exact to 2^24).
+    lo = jnp.clip(xs, 0, cw - 1)
+    q = jnp.minimum(lo >> 3, S - 4)          # window start segment
     mdt = jnp.bfloat16 if bd == 8 else jnp.float32
-    P = jax.lax.dot_general(
-        band.astype(mdt), Mh.astype(mdt),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=(None if bd == 8
-                   else jax.lax.Precision.HIGHEST))   # [br, N, w]
-    P = P.transpose(1, 0, 2)                     # [N, br, w]
-    # source-row selection (with normative edge clamping) as 0/1 matmul
+    prec = None if bd == 8 else jax.lax.Precision.HIGHEST
+    # window select: OH [N, 4, S] x band_r [br, S, 8] -> W [N, br, 32]
+    segs = jnp.arange(S, dtype=I32)[None, None, :]
+    t4 = jnp.arange(4, dtype=I32)[None, :, None]
+    oh = (segs == (q[:, None, None] + t4)).astype(mdt)
+    W4 = jax.lax.dot_general(
+        oh, band_r.astype(mdt), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    W = W4.transpose(0, 2, 1, 3).reshape(N, br, 32)
+    # source-row selection (normative vertical edge clamp) as 0/1 matmul
     rr = jnp.clip(y0[:, None] - 3 + jnp.arange(ih, dtype=I32)[None, :],
                   0, chh[:, None] - 1) - hd[2]
     oh_r = (rr[:, :, None] == jnp.arange(br, dtype=I32)[None, None, :]
-            ).astype(jnp.float32)                # [N, ih, br]
+            ).astype(mdt)
+    Wr = jax.lax.dot_general(
+        oh_r, W.astype(mdt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [N, ih, 32]
+    # banded horizontal filter matrix Mf [N, 32, w] with in-window clamp:
+    #   Mf[n, j, c] = sum_k fx[n, k] * [clip(xs+c+k, 0, cw-1) - 8q == j]
+    c_idx = jnp.arange(w, dtype=I32)[None, :]
+    jj = jnp.arange(32, dtype=I32)[None, :, None]
+    Mf = jnp.zeros((N, 32, w), jnp.float32)
+    for k in range(8):
+        tgt = jnp.clip(xs[:, None] + c_idx + k, 0, cw[:, None] - 1) \
+            - (q[:, None] << 3)
+        Mf = Mf + fx[:, k, None, None] * (tgt[:, None, :] == jj)
     winh = jax.lax.dot_general(
-        oh_r, P, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)     # [N, ih, w]
+        Wr.astype(mdt), Mf.astype(mdt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [N, ih, w]
     temp = jnp.clip((winh.astype(I32) + 64) >> 7, 0, maxv)
     acc = jnp.zeros((N, h, w), I32)
     for k in range(8):
         acc = acc + fy[:, k, None, None] * temp[:, k:k + h, :]
-    out = jnp.clip((acc + 64) >> 7, 0, maxv)
-    rows_o = dy[:, None, None] + jnp.arange(h, dtype=I32)[None, :, None]
-    cols_o = dx[:, None, None] + jnp.arange(w, dtype=I32)[None, None, :]
-    cur = F[plane[:, None, None], rows_o, cols_o]
-    out = jnp.where(avg[:, None, None] > 0, (cur + out + 1) >> 1, out)
-    return F.at[plane[:, None, None], rows_o, cols_o].set(out, mode="drop")
+    return jnp.clip((acc + 64) >> 7, 0, maxv)
 
 
-def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, w, h, br, bd):
-    """mc_units [MAXC, CHUNK, 12]; sequential chunks (avg ordering).
+def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
+             w, h, br, bd):
+    """Apply one MC tile class.  mc_units [CAPC, CHUNK, 12]; chunks
+    [0, n_ref0) are first-reference predictions (unique destinations),
+    chunks [n_ref0, n_chunks) are compound second predictions that
+    average into the first pass's output.
 
-    fori_loop with a traced trip count: only the chunks a frame actually
-    fills execute (unrolling over the capacity measured ~2.5x slower)."""
-    def body(i, F):
-        u = jax.lax.dynamic_index_in_dim(mc_units, i, axis=0,
-                                         keepdims=False)
-        hd = jax.lax.dynamic_index_in_dim(mc_hdrs, i, axis=0,
-                                          keepdims=False)
-        return _mc_chunk(F, pool, kernels, hd, u, w, h, br, bd)
-    return jax.lax.fori_loop(0, n_chunks, body, F)
+    Landing strategy (measured on v5e, tools/profiling/scatter_floor.py):
+    XLA tile scatter costs ~6 ns/element regardless of shape, so scatter
+    landing is the bottleneck for large classes.  8x8/16x16 tiles land
+    via GATHER instead: all chunks stage into one [CAPC*CH, h*w] buffer
+    inside the fori_loop (contiguous dynamic_update_slice), a tiny
+    scalar scatter builds a per-tile-cell map [3, ha/h, wa/w] (tiles of
+    class h are h-aligned — partition geometry guarantees it), and one
+    row-gather of the staging by the map + mask-combine lands the whole
+    class (256-elem rows gather at ~90-150 GB/s; 27x faster than tile
+    scatter on a dense 4K frame).  4x4 tiles (16-elem rows gather at
+    only 3-10 GB/s) instead stage G chunks and pay ONE tile scatter per
+    group, bounding scatter count by actual coded tiles."""
+    CAPC, CH = mc_units.shape[0], mc_units.shape[1]
+    ha, wa = F.shape[1], F.shape[2]
+
+    if w >= 8:
+        stage = jnp.zeros((CAPC * CH, h * w), I32)
+
+        def body(ci, stage):
+            u = jax.lax.dynamic_index_in_dim(mc_units, ci, 0, False)
+            hd = jax.lax.dynamic_index_in_dim(mc_hdrs, ci, 0, False)
+            out = _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd)
+            return jax.lax.dynamic_update_slice(
+                stage, out.reshape(CH, h * w), (ci * CH, 0))
+
+        stage = jax.lax.fori_loop(0, n_chunks, body, stage)
+        uu = mc_units.reshape(CAPC * CH, 12)
+        plane, dx = uu[:, 0], uu[:, 1]
+        # dy stored +1: zero entries are padding (zero-page elision)
+        dy = jnp.where(uu[:, 2] == 0, -(1 << 20), uu[:, 2] - 1)
+        cidx = jnp.arange(CAPC * CH, dtype=I32) // CH
+        TY, TX = ha // h, wa // w
+
+        def land(F, lo, hi, is_avg):
+            seldy = jnp.where((cidx >= lo) & (cidx < hi), dy, -(1 << 20))
+            tmap = jnp.full((3, TY, TX), -1, I32).at[
+                plane, seldy // h, dx // w].set(
+                jnp.arange(CAPC * CH, dtype=I32), mode="drop")
+            g = jnp.take(stage, tmap.reshape(-1).clip(0), axis=0)
+            g = g.reshape(3, TY, TX, h, w).transpose(0, 1, 3, 2, 4)
+            g = g.reshape(3, ha, wa)
+            cov = jnp.repeat(jnp.repeat(tmap >= 0, h, axis=1), w, axis=2)
+            return jnp.where(cov, (F + g + 1) >> 1 if is_avg else g, F)
+
+        F = land(F, 0, n_ref0, False)
+        return land(F, n_ref0, n_chunks, True)
+
+    # ---- 4x4 class: group-staged scatter
+    G = 4
+
+    def group(base, limit, is_avg, F):
+        stage = jnp.zeros((G * CH, h, w), I32)
+        us = []
+        valid = []
+        for j in range(G):
+            ci = base + j
+            u = jax.lax.dynamic_index_in_dim(mc_units, ci, 0, False)
+            hd = jax.lax.dynamic_index_in_dim(mc_hdrs, ci, 0, False)
+            out = _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd)
+            stage = jax.lax.dynamic_update_slice(stage, out, (j * CH, 0, 0))
+            us.append(u)
+            valid.append(jnp.full((CH,), ci < limit))
+        uu = jnp.concatenate(us)
+        vv = jnp.concatenate(valid)
+        plane, dx = uu[:, 0], uu[:, 1]
+        dy = jnp.where(uu[:, 2] == 0, -(1 << 20), uu[:, 2] - 1)
+        dy = jnp.where(vv, dy, -(1 << 20))
+        rows_o = dy[:, None, None] + jnp.arange(h, dtype=I32)[None, :, None]
+        cols_o = dx[:, None, None] + jnp.arange(w, dtype=I32)[None, None, :]
+        if is_avg:
+            cur = F[plane[:, None, None], rows_o, cols_o]
+            stage = (cur + stage + 1) >> 1
+        return F.at[plane[:, None, None], rows_o, cols_o].set(
+            stage, mode="drop")
+
+    F = jax.lax.fori_loop(
+        0, (n_ref0 + G - 1) // G,
+        lambda g, F: group(g * G, n_ref0, False, F), F)
+    return jax.lax.fori_loop(
+        0, (n_chunks - n_ref0 + G - 1) // G,
+        lambda g, F: group(n_ref0 + g * G, n_chunks, True, F), F)
 
 
 # ----------------------------------------------------------------- intra
@@ -191,9 +269,9 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
       pool    [8, 3, ha, wa] int32 device-resident reference pool (donated)
       ring    [RING, nout] uint8 output ring (donated; slot = misc[13])
       flat    [K*PAGE] int16 packed frame (pack.pack_frame), OR — when
-              pages_tier > 0 — a compacted [hdr_rows + tier, PAGE] int16
-              upload whose zero pages were elided (header rows carry page
-              indices as (low15, high) pairs; see pipeline._upload)
+              pages_tier > 0 — a compacted [hdr_rows + 1 + tier, PAGE]
+              int16 upload whose zero pages were elided (header rows
+              carry the g[K] page map; see pipeline._compact)
     The reference-pool refresh (refresh_frame_flags) and the page
     expansion happen in-step so a frame is exactly one dispatch and one
     H2D transfer (plus one batched D2H per RING frames).
@@ -206,12 +284,11 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
 
     def step(pool, ring, kernels, flat):
         if pages_tier:
-            hr = cdiv(2 * pages_tier, PAGE)
-            h = flat[:hr].reshape(-1)[:2 * pages_tier].astype(
-                I32).reshape(pages_tier, 2)
-            idx = h[:, 0] + (h[:, 1] << 15)
-            z = jnp.zeros((K, PAGE), jnp.int16)
-            flat = z.at[idx].set(flat[hr:], mode="drop").reshape(-1)
+            # gather expansion: g[K] page map (0 = the shared zero page
+            # at data row 0) -> one 1 KB-row gather rebuilds the layout
+            hr = cdiv(K, PAGE)
+            g = flat[:hr].reshape(-1)[:K].astype(I32)
+            flat = jnp.take(flat[hr:], g, axis=0).reshape(-1)
 
         def seg(name, dtype=I32):
             off, shape = layout.segs[name]
@@ -263,11 +340,11 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
             R = jax.lax.fori_loop(0, misc[16 + bi], body, R)
         br = min(160, ha)
         F = _mc_pass(F, pool, kernels, seg("mc4"), seg("mc4h"),
-                     misc[0], 4, 4, br, bd)
+                     misc[0], misc[23], 4, 4, br, bd)
         F = _mc_pass(F, pool, kernels, seg("mc8"), seg("mc8h"),
-                     misc[1], 8, 8, br, bd)
+                     misc[1], misc[24], 8, 8, br, bd)
         F = _mc_pass(F, pool, kernels, seg("mc16"), seg("mc16h"),
-                     misc[2], 16, 16, br, bd)
+                     misc[2], misc[25], 16, 16, br, bd)
         # inter residual add over non-skip inter mi cells
         m = seg("mi_mask")
         mask = jnp.zeros((3, ha, wa), jnp.bool_)
@@ -311,22 +388,25 @@ _BATCH_CACHE = {}
 
 def get_batched_step(n_streams: int, mi_rows: int, mi_cols: int,
                      lossless: bool, bd: int = 8, pages_tier: int = 0,
-                     mesh=None):
+                     mesh=None, tier: str = "wide"):
     """(batched_step, caps, layout) for N same-geometry streams.
 
     The per-frame step body is vmapped over a leading stream axis
     (pool [N,8,3,ha,wa], ring [N,RING,nout], flat [N,...]) so N streams
-    reconstruct in ONE dispatch (SURVEY P7 / BASELINE config 5).  The
-    "wide" capacity tier is used so one compiled variant serves
-    keyframes, typical inter frames, and dense frames alike.  With a
-    `mesh`, the stream axis is sharded over the mesh's 'data' axis
-    (pure data parallelism: streams are independent, no collectives).
+    reconstruct in ONE dispatch (SURVEY P7 / BASELINE config 5).
+    Typical rounds run the "tight" capacity tier (small host pack
+    buffers + small uploads); a round where any stream overflows tight
+    escalates the WHOLE round to the "wide" variant (the other streams'
+    tight flats remap by segment copy — a tight pack is a valid sparse
+    wide pack).  With a `mesh`, the stream axis is sharded over the
+    mesh's 'data' axis (pure data parallelism: streams are independent,
+    no collectives).
     """
     from . import pack
     key = (n_streams, mi_rows, mi_cols, lossless, bd, pages_tier,
-           id(mesh) if mesh is not None else None)
+           id(mesh) if mesh is not None else None, tier)
     if key not in _BATCH_CACHE:
-        caps = pack.compute_caps(mi_rows, mi_cols, "wide", lossless)
+        caps = pack.compute_caps(mi_rows, mi_cols, tier, lossless)
         layout = pack.build_layout(caps, mi_rows, mi_cols, lossless, bd)
         body = make_frame_step(mi_rows, mi_cols, caps, layout, lossless,
                                bd, pages_tier, jit_wrap=False)

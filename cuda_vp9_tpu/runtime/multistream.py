@@ -186,12 +186,13 @@ class BatchedFusedDecoder:
         self.recons = [BatchedRecon(self, s) for s in range(n_streams)]
         self.decs = [NativeVp9Decoder(recon_fn=r) for r in self.recons]
         self._geom = None          # (ha, wa, bd)
-        self._caps = self._layout = None
+        self._caps = self._layout = None          # tight tier
+        self._caps_w = self._layout_w = None      # wide escalation tier
         self._pool = None          # [N, 8, 3, ha, wa] int32
         self._ring = None          # [N, RING, nout]
         self._ring_slot = 0
         self._slot_dirty = [[True] * 8 for _ in range(n_streams)]
-        self._round_flats = [None] * n_streams
+        self._round_flats = [None] * n_streams    # (flat, is_wide)
         self._round_lps = [None] * n_streams
         self._syncs = []           # (stream, slot, canvas) pool updates
         self._pending = []
@@ -212,7 +213,10 @@ class BatchedFusedDecoder:
             self._lossless = bool(hdr.lossless)
             _, self._caps, self._layout = fused.get_batched_step(
                 self.n, hdr.mi_rows, hdr.mi_cols, self._lossless,
-                hdr.bit_depth, mesh=self.mesh)
+                hdr.bit_depth, mesh=self.mesh, tier="tight")
+            _, self._caps_w, self._layout_w = fused.get_batched_step(
+                self.n, hdr.mi_rows, hdr.mi_cols, self._lossless,
+                hdr.bit_depth, mesh=self.mesh, tier="wide")
             nout = ha * wa + 2 * ((ha >> 1) * (wa >> 1))
             odt = jnp.uint8 if hdr.bit_depth == 8 else jnp.int16
             pool = jnp.zeros((self.n, 8, 3, ha, wa), jnp.int32)
@@ -269,15 +273,26 @@ class BatchedFusedDecoder:
         ha, wa = self._ensure_state(hdr)
         slot = self._ring_slot
         nparser = getattr(plan, "native_parser", None)
-        if nparser is not None:
-            flat = nparser.pack(plan, refs, self._caps, self._layout,
-                                ring_slot=slot)
-        else:
+
+        def try_pack(caps, layout):
+            if nparser is not None:
+                return nparser.pack(plan, refs, caps, layout,
+                                    ring_slot=slot)
             from . import pack as packmod
-            flat = packmod.pack_frame(plan, refs, self._caps, self._layout)
-            if flat is not None:
-                self._layout.view(flat, "misc")[13] = slot
-        if flat is None:   # cannot happen with wide caps, but be safe
+            f = packmod.pack_frame(plan, refs, caps, layout)
+            if f is not None:
+                layout.view(f, "misc")[13] = slot
+            return f
+
+        # tight tier first; dense frames (keyframes, scene cuts)
+        # escalate to the wide tier -- the whole round remaps (segment
+        # copy) so the batch still dispatches as ONE step
+        is_wide = False
+        flat = try_pack(self._caps, self._layout)
+        if flat is None:
+            flat = try_pack(self._caps_w, self._layout_w)
+            is_wide = True
+        if flat is None:   # beyond even wide caps: host oracle
             planes = ref_recon.reconstruct_frame(plan, refs)
             for i in range(8):
                 if hdr.refresh_frame_flags & (1 << i):
@@ -296,7 +311,7 @@ class BatchedFusedDecoder:
                     self._syncs.append((s, rslot, canvas))
                     self._slot_dirty[s][rslot] = False
         lp = _BatchLazyPlanes(self, s, slot, ha, wa, hdr.bit_depth)
-        self._round_flats[s] = flat
+        self._round_flats[s] = (flat, is_wide)
         self._round_lps[s] = lp
         self._pending.append(lp)
         for i in range(8):
@@ -332,11 +347,19 @@ class BatchedFusedDecoder:
         if all(f is None for f in self._round_flats):
             return
         PAGE = packmod.PAGE
-        nflat = (self._layout.size + PAGE - 1) // PAGE * PAGE
+        use_wide = any(f is not None and f[1] for f in self._round_flats)
+        layout = self._layout_w if use_wide else self._layout
+        nflat = (layout.size + PAGE - 1) // PAGE * PAGE
         K = nflat // PAGE
         # zero payload = identity step for streams with no frame
-        flats = [f if f is not None else np.zeros(nflat, np.int16)
-                 for f in self._round_flats]
+        flats = []
+        for f in self._round_flats:
+            if f is None:
+                flats.append(np.zeros(nflat, np.int16))
+            elif use_wide and not f[1]:
+                flats.append(self._remap_wide(f[0]))
+            else:
+                flats.append(f[0])
         # shared page tier: smallest that fits every stream's frame
         try:
             from ..native import native_compact, native_count_pages
@@ -357,7 +380,8 @@ class BatchedFusedDecoder:
             tier = 0
         step, _, _ = fused.get_batched_step(
             self.n, self._mi_rows, self._mi_cols, self._lossless, bd,
-            pages_tier=tier, mesh=self.mesh)
+            pages_tier=tier, mesh=self.mesh,
+            tier="wide" if use_wide else "tight")
         self._pool, self._ring = step(self._pool, self._ring,
                                       self.kernels, jnp.asarray(payload))
         # one background fetch of this round's ring rows for all streams
@@ -376,18 +400,34 @@ class BatchedFusedDecoder:
             self._pending = [lp for lp in self._pending
                              if lp._planes is not None or lp._fut is not None]
 
+    def _remap_wide(self, flat_t):
+        """Expand a tight-tier flat pack into the wide layout: pure
+        per-segment copy (capacities only grow, fill counts and misc
+        scalars stay valid), so escalation never re-packs a stream."""
+        np = self.np
+        PAGE = 512
+        nflat = (self._layout_w.size + PAGE - 1) // PAGE * PAGE
+        out = np.zeros(nflat, np.int16)
+        for name, (off, shape) in self._layout.segs.items():
+            src = self._layout.view(flat_t, name)
+            dst = self._layout_w.view(out, name)
+            if src.shape == dst.shape:
+                dst[:] = src
+            else:
+                dst[:src.shape[0]] = src
+        return out
+
     @staticmethod
     def _np_compact(flat, K, tier, PAGE):
         import numpy as np
         pg = flat.reshape(K, PAGE)
         nz = np.flatnonzero(pg.any(axis=1))
-        hr = (2 * tier + PAGE - 1) // PAGE
-        comb = np.zeros((hr + tier, PAGE), np.int16)
+        # gather layout (see pipeline._compact)
+        hr = (K + PAGE - 1) // PAGE
+        comb = np.zeros((hr + 1 + tier, PAGE), np.int16)
         head = comb[:hr].reshape(-1)
-        head[0:2 * len(nz):2] = nz & 0x7FFF
-        head[1:2 * len(nz):2] = nz >> 15
-        head[2 * len(nz):2 * tier] = 0x7FFF
-        comb[hr:hr + len(nz)] = pg[nz]
+        head[nz] = np.arange(1, len(nz) + 1)
+        comb[hr + 1:hr + 1 + len(nz)] = pg[nz]
         return comb
 
     # ------------------------------------------------------------ output

@@ -477,6 +477,7 @@ def _pack_mc(plan, refs, caps, layout, buf):
     ha = ((hdr.mi_rows + 7) & ~7) * 8
     br, stride = band_params(ha)
     nums = []
+    nums_ref0 = []
     for ts, chunk, name in ((4, CHUNK_MC4, "mc4"), (8, CHUNK_MC8, "mc8"),
                             (16, CHUNK_MC16, "mc16")):
         # group tiles by (is_avg, slot, plane, row band); every chunk is
@@ -489,6 +490,7 @@ def _pack_mc(plan, refs, caps, layout, buf):
         n = tl.shape[0]
         if n == 0:
             nums.append(0)
+            nums_ref0.append(0)
             continue
         rmin = np.clip(tl[:, 5] - 3, 0, tl[:, 10] - 1)
         srow = np.clip((rmin // stride) * stride, 0, ha - br)
@@ -499,6 +501,7 @@ def _pack_mc(plan, refs, caps, layout, buf):
         starts = np.nonzero(np.r_[True, gkey[1:] != gkey[:-1]])[0]
         ends = np.r_[starts[1:], n]
         ci = 0
+        c0 = 0
         ok = True
         for s, e in zip(starts, ends):
             for k0 in range(s, e, chunk):
@@ -511,13 +514,16 @@ def _pack_mc(plan, refs, caps, layout, buf):
                 hdrarr[ci, 1] = tl[s, 0]
                 hdrarr[ci, 2] = srow[s]
                 ci += 1
+                if tl[s, 11] == 0:
+                    c0 = ci  # chunks are ref_i-homogeneous, ref0 first
             if not ok:
                 break
         if not ok:
             _note_overflow(name, ci + 1, arr.shape[0])
             return None  # overflow -> host fallback
         nums.append(ci)
-    return nums
+        nums_ref0.append(c0)
+    return nums, nums_ref0
 
 
 def _pack_intra(plan, caps, layout, buf):
@@ -613,11 +619,12 @@ def pack_frame(plan, refs, caps, layout):
     if ncoeff is None:
         return None
     if hdr.frame_is_intra_only:
-        nmc = [0, 0, 0]
+        nmc, nmc0 = [0, 0, 0], [0, 0, 0]
     else:
-        nmc = _pack_mc(plan, refs, caps, layout, buf)
-        if nmc is None:
+        packed_mc = _pack_mc(plan, refs, caps, layout, buf)
+        if packed_mc is None:
             return None
+        nmc, nmc0 = packed_mc
     n_chunks = _pack_intra(plan, caps, layout, buf)
     if n_chunks is None:
         return None
@@ -637,4 +644,8 @@ def pack_frame(plan, refs, caps, layout):
     # (cdiv(filled units, chunk); unit counts can exceed int16 at 4K)
     for b, (name, _, _) in enumerate(COEFF_BUCKETS):
         misc[16 + b] = cdiv(ncoeff[b], COEFF_CHUNK[name])
+    # misc[23..25]: first compound-average chunk per MC class (chunks
+    # before it are unique-destination first-reference predictions)
+    for i in range(3):
+        misc[23 + i] = nmc0[i]
     return buf

@@ -44,7 +44,9 @@ def _tier_ladder(K):
     typical frames).  Frames denser than the largest tier ship dense."""
     ts = []
     t = 64
-    while t * 4 <= K * 3:
+    # 32766 cap: the gather-layout page map g[K] is int16 (1-based data
+    # row indices); denser frames ship the whole buffer
+    while t * 4 <= K * 3 and t <= 32766:
         ts.append(t)
         t *= 2
     return ts
@@ -81,243 +83,6 @@ def _fetcher(s0k, dtype, shape):
         fn = jax.jit(lambda r: jax.lax.slice_in_dim(r, s0, s0 + k, axis=0))
         _FETCHER_CACHE[key] = fn
     return fn
-
-
-class TpuRecon:
-    """Reconstruction backend running on the default JAX device."""
-
-    def __init__(self, validate_against_oracle: bool = False):
-        from ..utils.jaxcache import enable_persistent_cache
-        enable_persistent_cache()
-        import jax
-        import jax.numpy as jnp
-        from ..ops.device import stages
-        self.jax = jax
-        self.jnp = jnp
-        self.stages = stages
-        self.kernels = jnp.asarray(M.FILTER_KERNELS.astype(np.int32))
-        self.validate = validate_against_oracle
-        self.frames_on_device = 0
-        self.frames_on_host = 0
-
-    # ---------------------------------------------------------- fallback
-
-    def _can_run_on_device(self, plan, refs) -> bool:
-        hdr = plan.hdr
-        if hdr.bit_depth != 8:
-            return False
-        if not hdr.frame_is_intra_only:
-            for rb in refs.values():
-                if rb is None:
-                    continue
-                if rb.width != hdr.width or rb.height != hdr.height:
-                    return False  # scaled references: oracle path
-        return True
-
-    # ---------------------------------------------------------- main
-
-    def __call__(self, plan, refs):
-        if not self._can_run_on_device(plan, refs):
-            self.frames_on_host += 1
-            return ref_recon.reconstruct_frame(plan, refs)
-        self.frames_on_device += 1
-        return self._recon_device(plan, refs)
-
-    def _recon_device(self, plan, refs):
-        jnp = self.jnp
-        hdr = plan.hdr
-        bd = hdr.bit_depth
-        ss_x, ss_y = hdr.subsampling_x, hdr.subsampling_y
-        wa = ((hdr.mi_cols + 7) & ~7) * 8
-        ha = ((hdr.mi_rows + 7) & ~7) * 8
-        aligned = [(hdr.mi_cols * 8, hdr.mi_rows * 8),
-                   ((hdr.mi_cols * 8) >> ss_x, (hdr.mi_rows * 8) >> ss_y),
-                   ((hdr.mi_cols * 8) >> ss_x, (hdr.mi_rows * 8) >> ss_y)]
-
-        F = jnp.zeros((3, ha, wa), jnp.int32)
-        R = jnp.zeros((3, ha, wa), jnp.int32)
-
-        # ---- stage 1: residuals
-        for b in planlib.build_coeff_buckets(plan):
-            cap = b.coeffs.shape[0]
-            y0 = np.full(cap, -32768, np.int32)
-            x0 = np.zeros(cap, np.int32)
-            y0[:b.count] = b.y4[:b.count] * 4
-            x0[:b.count] = b.x4[:b.count] * 4
-            R = self.stages.residual_scatter(
-                R, jnp.asarray(b.coeffs), jnp.asarray(b.plane),
-                jnp.asarray(y0), jnp.asarray(x0),
-                b.tx_size, b.tx_type, b.lossless, bd)
-
-        # ---- stage 2: inter
-        any_inter = False
-        if not hdr.frame_is_intra_only:
-            ref_sizes = {k: (rb.width, rb.height) if rb else None
-                         for k, rb in refs.items()}
-            units = planlib.build_mc_units(plan, ref_sizes)
-            if units:
-                any_inter = True
-                F = self._run_inter(F, R, plan, refs, units, ha, wa, bd)
-
-        # ---- stage 3: intra waves
-        units, num_waves = planlib.build_intra_units(plan)
-        if units:
-            F = self._run_intra(F, R, plan, units, num_waves, aligned, bd)
-
-        planes_dev = np.asarray(F)
-        hc, wc = ha >> ss_y, wa >> ss_x
-        planes = [planes_dev[0].astype(np.uint16),
-                  planes_dev[1, :hc, :wc].astype(np.uint16),
-                  planes_dev[2, :hc, :wc].astype(np.uint16)]
-
-        # ---- stage 4: loop filter (host for now; device port pending)
-        ref_lf.filter_frame(planes, plan.mi, plan.seg_map, hdr,
-                            hdr.mi_rows, hdr.mi_cols, ss_x, ss_y, bd)
-
-        if self.validate:
-            want = ref_recon.reconstruct_frame(plan, refs)
-            for p in range(3):
-                if not np.array_equal(planes[p], want[p]):
-                    d = np.nonzero(planes[p].astype(int)
-                                   - want[p].astype(int))
-                    raise AssertionError(
-                        f"device recon mismatch plane {p}: "
-                        f"{len(d[0])} pixels, first {d[0][:4]},{d[1][:4]}")
-        return planes
-
-    # ---------------------------------------------------------- inter
-
-    def _run_inter(self, F, R, plan, refs, units, ha, wa, bd):
-        jnp = self.jnp
-        hdr = plan.hdr
-        ss_x, ss_y = hdr.subsampling_x, hdr.subsampling_y
-        # stack the (up to 3) active reference frames on device
-        ref_stack = np.zeros((3, 3, ha, wa), np.int32)
-        crop = np.ones((3, 3, 2), np.int32)  # [slot][plane][(w, h)]
-        for k in (1, 2, 3):
-            rb = refs.get(k)
-            if rb is None:
-                continue
-            for p in range(3):
-                pl = rb.planes[p]
-                ref_stack[k - 1, p, :pl.shape[0], :pl.shape[1]] = pl
-                sx = ss_x if p else 0
-                sy = ss_y if p else 0
-                crop[k - 1, p, 0] = (rb.width + sx) >> sx
-                crop[k - 1, p, 1] = (rb.height + sy) >> sy
-        ref_dev = jnp.asarray(ref_stack)
-
-        buckets: Dict = {}
-        for u in units:
-            buckets.setdefault((u.w, u.h, u.is_avg), []).append(u)
-        # all first-ref units before averaging units
-        for key in sorted(buckets, key=lambda k: (k[2], k[0], k[1])):
-            w, h, is_avg = key
-            us = buckets[key]
-            cap = _pad_pow2(len(us))
-            arr = {n: np.zeros(cap, np.int32) for n in
-                   ("plane", "dx", "dy", "slot", "x0", "y0", "spx", "spy",
-                    "filt", "cw", "ch")}
-            arr["dy"][:] = -32768
-            for i, u in enumerate(us):
-                arr["plane"][i] = u.plane
-                arr["dx"][i] = u.dx
-                arr["dy"][i] = u.dy
-                arr["slot"][i] = u.ref_slot
-                arr["x0"][i] = u.x0
-                arr["y0"][i] = u.y0
-                arr["spx"][i] = u.subpel_x
-                arr["spy"][i] = u.subpel_y
-                arr["filt"][i] = u.filter
-                arr["cw"][i] = crop[u.ref_slot, u.plane, 0]
-                arr["ch"][i] = crop[u.ref_slot, u.plane, 1]
-            F = self.stages.mc_bucket(
-                F, ref_dev, self.kernels,
-                *(jnp.asarray(arr[n]) for n in
-                  ("plane", "dx", "dy", "slot", "x0", "y0", "spx", "spy",
-                   "filt", "cw", "ch")),
-                w=w, h=h, is_avg=bool(is_avg), bd=bd)
-
-        # residual add over non-skip inter block areas
-        mask = self._inter_mask(plan, ha, wa, ss_x, ss_y)
-        F = self.stages.add_residual_masked(F, R, jnp.asarray(mask),
-                                            (1 << bd) - 1)
-        return F
-
-    def _inter_mask(self, plan, ha, wa, ss_x, ss_y):
-        mi = plan.mi
-        m = (mi.ref[:, :, 0] > C.INTRA_FRAME) & (mi.skip == 0)
-        mask = np.zeros((3, ha, wa), bool)
-        y8 = np.repeat(np.repeat(m, 8, axis=0), 8, axis=1)
-        mask[0, :y8.shape[0], :y8.shape[1]] = y8
-        c4h = 8 >> ss_y
-        c4w = 8 >> ss_x
-        cm = np.repeat(np.repeat(m, c4h, axis=0), c4w, axis=1)
-        mask[1, :cm.shape[0], :cm.shape[1]] = cm
-        mask[2, :cm.shape[0], :cm.shape[1]] = cm
-        return mask
-
-    # ---------------------------------------------------------- intra
-
-    def _run_intra(self, F, R, plan, units, num_waves, aligned, bd):
-        jnp = self.jnp
-        # availability parameters per unit (host, reference edge rules)
-        by_wave_bs: Dict = {}
-        for u in units:
-            fw, fh = aligned[u.plane]
-            need = ref_intra.EXTEND_MODES[u.mode]
-            bs = u.bs
-            n_left = 0
-            if (need & ref_intra.NEED_LEFT) and u.have_left:
-                if u.bottom_clipped and u.y0 + bs > fh:
-                    n_left = fh - u.y0
-                else:
-                    n_left = bs
-            n_above = 0
-            if (need & (ref_intra.NEED_ABOVE | ref_intra.NEED_ABOVERIGHT)) \
-                    and u.have_up:
-                if need & ref_intra.NEED_ABOVERIGHT:
-                    if u.right_clipped:
-                        if u.x0 + 2 * bs <= fw:
-                            n_above = 2 * bs if (u.have_right and bs == 4) \
-                                else bs
-                        elif u.x0 + bs <= fw:
-                            n_above = (fw - u.x0) if (u.have_right
-                                                      and bs == 4) else bs
-                        else:
-                            n_above = fw - u.x0
-                    else:
-                        n_above = 2 * bs if (bs == 4 and u.have_right) \
-                            else bs
-                else:
-                    if u.right_clipped and u.x0 + bs > fw:
-                        n_above = fw - u.x0
-                    else:
-                        n_above = bs
-            if u.have_up and (need & (ref_intra.NEED_ABOVE
-                                      | ref_intra.NEED_ABOVERIGHT)):
-                tl_mode = 0 if u.have_left else 1
-            else:
-                tl_mode = 2
-            by_wave_bs.setdefault((u.wave, u.bs), []).append(
-                (u.plane, u.x0, u.y0, u.mode, n_above, n_left, tl_mode,
-                 u.have_up, u.have_left))
-
-        for wave in range(1, num_waves + 1):
-            for bs in (4, 8, 16, 32):
-                us = by_wave_bs.get((wave, bs))
-                if not us:
-                    continue
-                cap = _pad_pow2(len(us), lo=8)
-                cols = np.zeros((9, cap), np.int32)
-                cols[2, :] = -32768  # padded y0 -> dropped
-                for i, t in enumerate(us):
-                    for j in range(9):
-                        cols[j, i] = t[j]
-                F = self.stages.intra_wave(
-                    F, R, *(jnp.asarray(cols[j]) for j in range(9)),
-                    bs=bs, bd=bd)
-        return F
 
 
 class LazyPlanes:
@@ -571,17 +336,14 @@ class TpuReconFused:
             return native_compact(flat, K, tier), tier
         pg = flat.reshape(K, PAGE)
         nz = np.flatnonzero(pg.any(axis=1))
-        # compacted upload: header rows carry the page indices as
-        # (low15, high) int16 pairs, then the non-zero pages.  Unused
-        # index slots decode to a huge positive value and drop at the
-        # in-step scatter.
-        hr = (2 * tier + PAGE - 1) // PAGE
-        comb = np.zeros((hr + tier, PAGE), np.int16)
+        # compacted upload, gather layout: header rows carry the g[K]
+        # page map (0 = the shared zero page at data row 0), then the
+        # non-zero pages; the step expands with ONE 1 KB-row gather.
+        hr = (K + PAGE - 1) // PAGE
+        comb = np.zeros((hr + 1 + tier, PAGE), np.int16)
         head = comb[:hr].reshape(-1)
-        head[0:2 * len(nz):2] = nz & 0x7FFF
-        head[1:2 * len(nz):2] = nz >> 15
-        head[2 * len(nz):2 * tier] = 0x7FFF
-        comb[hr:hr + len(nz)] = pg[nz]
+        head[nz] = np.arange(1, len(nz) + 1)
+        comb[hr + 1:hr + 1 + len(nz)] = pg[nz]
         return comb, tier
 
     def _mark_host_frame(self, refresh_flags):

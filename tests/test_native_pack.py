@@ -21,7 +21,8 @@ MAX_FRAMES = 6
 
 
 def _eligible(hdr, refs):
-    if hdr.bit_depth != 8 or hdr.subsampling_x != 1 \
+    # bd 10/12 exercises the native packer's hi/lo coefficient split
+    if hdr.bit_depth not in (8, 10, 12) or hdr.subsampling_x != 1 \
             or hdr.subsampling_y != 1:
         return False
     if not hdr.frame_is_intra_only:
@@ -43,7 +44,8 @@ def test_native_pack_matches_python(name, ivf, md5):
         if _eligible(hdr, refs) and compared[0] < MAX_FRAMES:
             tier = "full" if hdr.frame_is_intra_only else "tight"
             _, caps, layout = fused.get_frame_step(
-                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless))
+                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless),
+                bd=hdr.bit_depth)
             want = pack.pack_frame(plan, refs, caps, layout)
             if want is not None:
                 layout.view(want, "misc")[13] = 7
@@ -75,14 +77,17 @@ def test_native_pack_matches_python(name, ivf, md5):
                 if len(nz) > tier_p:
                     assert a is None
                 else:
+                    # gather layout: g[K] page map + zero page + data
                     assert a is not None
-                    hr = (2 * tier_p + pack.PAGE - 1) // pack.PAGE
-                    head = a[:hr].reshape(-1)
-                    idx = (head[0:2 * len(nz):2].astype(np.int64)
-                           & 0x7FFF) | (
-                        head[1:2 * len(nz):2].astype(np.int64) << 15)
-                    assert np.array_equal(idx, nz)
-                    assert np.array_equal(a[hr:hr + len(nz)], pg[nz])
+                    hr = (K + pack.PAGE - 1) // pack.PAGE
+                    g = a[:hr].reshape(-1)[:K].astype(np.int64)
+                    assert np.array_equal(np.flatnonzero(g), nz)
+                    assert np.array_equal(g[nz], np.arange(1, len(nz) + 1))
+                    assert not a[hr].any()  # shared zero page
+                    assert np.array_equal(a[hr + g[nz]], pg[nz])
+                    # full expansion round-trip
+                    assert np.array_equal(
+                        a[hr:][g].reshape(-1), want)
             compared[0] += 1
         return ref_recon.reconstruct_frame(plan, refs)
 

@@ -53,11 +53,11 @@ def build(with_resid, with_mc, with_intra, with_lf, with_tail):
         if with_mc:
             br = min(160, ha)
             F = fused._mc_pass(F, pool, kernels, seg("mc4"), seg("mc4h"),
-                               misc[0], 4, 4, br, 8)
+                               misc[0], misc[23], 4, 4, br, 8)
             F = fused._mc_pass(F, pool, kernels, seg("mc8"), seg("mc8h"),
-                               misc[1], 8, 8, br, 8)
+                               misc[1], misc[24], 8, 8, br, 8)
             F = fused._mc_pass(F, pool, kernels, seg("mc16"), seg("mc16h"),
-                               misc[2], 16, 16, br, 8)
+                               misc[2], misc[25], 16, 16, br, 8)
         if with_intra:
             F = fused._intra_pass(F, R, seg("intra"), seg("chunk_bs"),
                                   misc[3], 8)
