@@ -1,12 +1,13 @@
 """VP8 decode (RFC 6386).
 
-Keyframe decode slice of the reference's vp8/ codec (SURVEY S18):
-host entropy parse + NumPy reconstruction, validated per-frame against
-libavcodec's normative `vp8` decoder MD5s.  Inter frames and the
-device recon path follow the VP9 host-parse + fused-step shape.
+Full decode path of the reference's vp8/ codec (SURVEY S18): host
+entropy parse + NumPy reconstruction of key AND inter frames
+(last/golden/altref references, NEAREST/NEAR/ZERO/NEW/SPLIT motion,
+six-tap and bilinear sub-pel MC), validated per-frame against
+libavcodec's normative `vp8` decoder MD5s.
 """
 
-from .decoder import Vp8Error, Vp8KeyframeDecoder  # noqa: F401
+from .decoder import Vp8Decoder, Vp8Error, Vp8KeyframeDecoder  # noqa: F401
 
 
 class Vp8StreamDecoder:
@@ -14,7 +15,7 @@ class Vp8StreamDecoder:
     as NativeVp9Decoder (so the codec API and vpxdec work unchanged)."""
 
     def __init__(self, recon_fn=None):
-        self._dec = Vp8KeyframeDecoder()
+        self._dec = Vp8Decoder()
         self._out = []
 
     def decode(self, data: bytes) -> None:

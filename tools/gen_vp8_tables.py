@@ -105,6 +105,40 @@ def main():
     add("AC_QLOOKUP", grab(qnt, "ac_qlookup"),
         "vp8/common/quant_common.c ac_qlookup")
 
+    # ---- inter-frame tables ----
+    emv = load("vp8/common/entropymv.c")
+    mco = load("vp8/common/modecont.c")
+    fnm = load("vp8/common/findnearmv.c")
+    dmv = load("vp8/decoder/decodemv.c")
+    flt = load("vp8/common/filter.c")
+
+    add("MV_UPDATE_PROBS", grab(emv, "vp8_mv_update_probs"),
+        "vp8/common/entropymv.c vp8_mv_update_probs")
+    add("DEFAULT_MV_CONTEXT", grab(emv, "vp8_default_mv_context"),
+        "vp8/common/entropymv.c vp8_default_mv_context")
+    add("SMALL_MVTREE", grab(emo, "vp8_small_mvtree"),
+        "vp8/common/entropymode.c vp8_small_mvtree")
+    add("MODE_CONTEXTS", grab(mco, "vp8_mode_contexts"),
+        "vp8/common/modecont.c vp8_mode_contexts")
+    add("MBSPLITS", grab(emo, "vp8_mbsplits"),
+        "vp8/common/entropymode.c vp8_mbsplits")
+    add("MBSPLIT_COUNT", grab(emo, "vp8_mbsplit_count"),
+        "vp8/common/entropymode.c vp8_mbsplit_count")
+    add("MBSPLIT_PROBS", grab(emo, "vp8_mbsplit_probs"),
+        "vp8/common/entropymode.c vp8_mbsplit_probs")
+    add("MBSPLIT_OFFSET", grab(fnm, "vp8_mbsplit_offset"),
+        "vp8/common/findnearmv.c vp8_mbsplit_offset")
+    add("SUB_MV_REF_PROB3", grab(dmv, "vp8_sub_mv_ref_prob3"),
+        "vp8/decoder/decodemv.c vp8_sub_mv_ref_prob3")
+    add("MBSPLIT_FILL_COUNT", grab(dmv, "mbsplit_fill_count"),
+        "vp8/decoder/decodemv.c mbsplit_fill_count")
+    add("MBSPLIT_FILL_OFFSET", grab(dmv, "mbsplit_fill_offset"),
+        "vp8/decoder/decodemv.c mbsplit_fill_offset")
+    add("SUBPEL_FILTERS", grab(flt, "vp8_sub_pel_filters"),
+        "vp8/common/filter.c vp8_sub_pel_filters")
+    add("BILINEAR_FILTERS", grab(flt, "vp8_bilinear_filters"),
+        "vp8/common/filter.c vp8_bilinear_filters")
+
     with open(OUT, "w") as f:
         f.write('"""AUTO-GENERATED by tools/gen_vp8_tables.py '
                 '— do not edit.\n\n'

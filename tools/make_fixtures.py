@@ -124,6 +124,14 @@ def main():
     # libavcodec decoder) ---
     gen_vp8("v8kf01_176x144", 176, 144, 4, ["gop=1", "crf=30", "cpu_used=2"])
     gen_vp8("v8kf02_320x240", 320, 240, 3, ["gop=1", "crf=30", "cpu_used=2"])
+    # inter frames: NEAREST/NEAR/ZERO/NEW/SPLIT MVs, golden refreshes
+    gen_vp8("v8in01_176x144", 176, 144, 12,
+            ["gop=9999", "crf=30", "cpu_used=1"])
+    gen_vp8("v8in02_320x240", 320, 240, 10,
+            ["gop=6", "crf=24", "cpu_used=0"])
+    # low-quality / high-motion: dense residuals + skip + big MVs
+    gen_vp8("v8in03_176x144_lowq", 176, 144, 10,
+            ["gop=9999", "crf=45", "cpu_used=2"], seed=11)
     print("fixtures written to", FIXDIR)
 
 

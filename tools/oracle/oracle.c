@@ -178,8 +178,10 @@ static int do_decode(int argc, char **argv) {
     if (argc < 2) die("decode needs <in.ivf> <out.md5> [raw.yuv] [codec=...]");
     const char *in_path = argv[0], *md5_path = argv[1];
     const char *raw_path = NULL, *codec_name = "vp9";
+    int skip_lf = 0;
     for (int i = 2; i < argc; i++) {
         if (!strncmp(argv[i], "codec=", 6)) codec_name = argv[i] + 6;
+        else if (!strcmp(argv[i], "nolf")) skip_lf = 1;
         else raw_path = argv[i];
     }
     FILE *fin = fopen(in_path, "rb");
@@ -195,6 +197,7 @@ static int do_decode(int argc, char **argv) {
     const AVCodec *codec = avcodec_find_decoder_by_name(codec_name);
     if (!codec) die("decoder not found");
     AVCodecContext *c = avcodec_alloc_context3(codec);
+    if (skip_lf) c->skip_loop_filter = AVDISCARD_ALL;
     if (avcodec_open2(c, codec, NULL) < 0) die("decoder open failed");
 
     FILE *fmd5 = fopen(md5_path, "wb");
