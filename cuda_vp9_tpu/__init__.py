@@ -10,8 +10,9 @@ deblocking loop filter) runs as batched JAX/Pallas kernels on TPU.
 
 Package layout:
   codec/       public codec API (vpx_codec_dec_init/decode/get_frame parity)
-  containers/  IVF / Y4M / WebM stream I/O
+  containers/  IVF / WebM stream I/O; Y4M + raw YUV input for encoding
   decoder/     host bitstream layer: bool decoder, headers, modes, tokens
+  encoder/     VP9 encoder: intra-only fixed-QP bitstream writer (vpxenc)
   models/      VP9 normative entropy models: trees, default probs, adaptation
   ops/ref/     bit-exact NumPy reference DSP (oracle for every kernel)
   ops/        JAX / Pallas TPU kernels (idct, intra, inter MC, loop filter)

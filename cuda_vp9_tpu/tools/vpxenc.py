@@ -1,0 +1,99 @@
+"""vpxenc parity (intra-only slice): encode raw video to VP9-in-IVF.
+
+Reference: libvpx/vpxenc.c + vp9/vp9_cx_iface.c.  This first slice covers
+keyframe-only fixed-QP encoding (every frame a keyframe, --kf-max-dist=1
+equivalent), .y4m or raw I420 input, IVF output.
+
+Usage:
+  python -m cuda_vp9_tpu.tools.vpxenc in.{y4m,yuv} -o out.ivf
+         [--width W --height H] [--qindex Q] [--lossless]
+         [--block-size {8,16,32,64}] [--limit N] [--bit-depth {8,10,12}]
+         [--no-mode-search] [--psnr]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..containers.ivf import IvfWriter
+from ..containers.y4m import open_raw_video
+from ..decoder import constants as C
+from ..encoder import Vp9Encoder
+
+_BSIZE = {8: C.BLOCK_8X8, 16: C.BLOCK_16X16,
+          32: C.BLOCK_32X32, 64: C.BLOCK_64X64}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vpxenc", description=__doc__)
+    ap.add_argument("input")
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--qindex", type=int, default=60,
+                    help="base quantizer index 1..255 (0 with --lossless)")
+    ap.add_argument("--lossless", action="store_true")
+    ap.add_argument("--block-size", type=int, default=16,
+                    choices=sorted(_BSIZE))
+    ap.add_argument("--limit", type=int, default=0, metavar="N")
+    ap.add_argument("--bit-depth", type=int, default=0,
+                    choices=(0, 8, 10, 12),
+                    help="0 = take from the input")
+    ap.add_argument("--no-mode-search", action="store_true",
+                    help="force DC_PRED (faster, lower quality)")
+    ap.add_argument("--psnr", action="store_true",
+                    help="print per-frame Y PSNR vs the source")
+    args = ap.parse_args(argv)
+
+    src = open_raw_video(args.input, args.width, args.height,
+                         args.bit_depth or 8)
+    if getattr(src, "ss_x", 1) != 1 or getattr(src, "ss_y", 1) != 1:
+        print("vpxenc: only 4:2:0 input is supported", file=sys.stderr)
+        return 1
+    bd = args.bit_depth or getattr(src, "bit_depth", 8)
+    w, h = src.width, src.height
+
+    enc = Vp9Encoder(w, h, base_qindex=args.qindex, bit_depth=bd,
+                     block_size=_BSIZE[args.block_size],
+                     lossless=args.lossless,
+                     mode_search=not args.no_mode_search)
+
+    t0 = time.monotonic()
+    n = 0
+    total_bytes = 0
+    with open(args.output, "wb") as f:
+        fps = getattr(src, "fps", (30, 1))
+        writer = IvfWriter(f, b"VP90", w, h, fps[0], fps[1])
+        for planes in src:
+            payload = enc.encode_frame(planes)
+            writer.write_frame(payload, n)
+            total_bytes += len(payload)
+            if args.psnr:
+                rec = enc_last_y(enc, h, w)
+                d = rec.astype(np.float64) - np.asarray(
+                    planes[0], np.float64)
+                mse = (d * d).mean()
+                p = 99.0 if mse == 0 else 10 * np.log10(
+                    ((1 << bd) - 1) ** 2 / mse)
+                print(f"frame {n}: {len(payload)} B  Y-PSNR {p:.2f} dB")
+            n += 1
+            if args.limit and n >= args.limit:
+                break
+        writer.close()
+    dt = time.monotonic() - t0
+    print(f"encoded {n} frames, {total_bytes} bytes, "
+          f"{n / dt:.2f} fps" if n else "no frames", file=sys.stderr)
+    return 0
+
+
+def enc_last_y(enc, h, w):
+    """Cropped luma of the encoder's in-loop reconstruction."""
+    return enc._last_recon[0][:h, :w] if enc._last_recon else None
+
+
+if __name__ == "__main__":
+    sys.exit(main())

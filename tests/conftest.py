@@ -43,3 +43,20 @@ def fixture_streams(prefix: str = "", codec: str = "vp9"):
         md5 = ivf.with_suffix(".md5")
         out.append((ivf.stem, ivf, md5))
     return out
+
+
+# ---- normative-decoder oracle (libavcodec vp9) for encoder round-trips
+
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+
+from make_fixtures import ORACLE_BIN  # noqa: E402
+
+
+def build_oracle_or_skip():
+    import make_fixtures
+    try:
+        make_fixtures.build_oracle()
+    except Exception as e:  # no libavcodec dev env
+        pytest.skip(f"oracle tool unavailable: {e}")

@@ -1,0 +1,208 @@
+"""VP9 encoder round-trip tests.
+
+The bar for the intra-only encoder slice: its output must be spec-valid
+VP9.  Each case encodes synthetic frames and asserts (a) this repo's own
+decoder and the normative libavcodec vp9 decoder produce IDENTICAL
+per-frame MD5s, and (b) reconstruction quality clears a PSNR floor
+(exactness for lossless).  Mirrors the reference's encode-then-decode
+test pattern (libvpx/test/encode_test_driver.cc + end_to_end_test.cc).
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from cuda_vp9_tpu.containers.ivf import IvfWriter
+from cuda_vp9_tpu.containers.y4m import Y4mReader, open_raw_video
+from cuda_vp9_tpu.decoder import constants as C
+from cuda_vp9_tpu.decoder.frame import decode_stream_md5
+from cuda_vp9_tpu.encoder import Vp9Encoder
+from cuda_vp9_tpu.encoder.bitwriter import BoolEncoder, BitWriter
+from cuda_vp9_tpu.decoder.bitreader import BoolDecoder, BitReader
+
+from conftest import ORACLE_BIN, build_oracle_or_skip
+
+
+def _make_frames(w, h, n, bd=8, seed=5, noise=8):
+    rng = np.random.default_rng(seed)
+    mx = (1 << bd) - 1
+    mid = 1 << (bd - 1)
+    amp = mx // 4
+    dt = np.uint16 if bd > 8 else np.uint8
+    cw, ch = (w + 1) >> 1, (h + 1) >> 1
+    yy, xx = np.mgrid[0:h, 0:w]
+    cyy, cxx = np.mgrid[0:ch, 0:cw]
+    out = []
+    for t in range(n):
+        y = ((mid + amp * np.sin(xx / 17.0 + t) * np.cos(yy / 11.0))
+             + rng.integers(-noise, noise + 1, (h, w))).clip(0, mx)
+        u = (mid + amp * np.sin(cxx / 23.0 + t)).clip(0, mx)
+        v = (mid + amp * np.cos(cyy / 19.0 - t)).clip(0, mx)
+        out.append([y.astype(dt), u.astype(dt), v.astype(dt)])
+    return out
+
+
+def _encode_ivf(path, frames, **kw):
+    w = frames[0][0].shape[1]
+    h = frames[0][0].shape[0]
+    enc = Vp9Encoder(w, h, **kw)
+    with open(path, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        for i, fr in enumerate(frames):
+            wtr.write_frame(enc.encode_frame(fr), i)
+        wtr.close()
+    return enc
+
+
+def _normative_md5(tmp_path, ivf, raw_out=None):
+    build_oracle_or_skip()
+    md5 = tmp_path / "norm.md5"
+    cmd = [ORACLE_BIN, "decode", str(ivf), str(md5)]
+    if raw_out:
+        cmd.append(str(raw_out))
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return [line.split()[0] for line in md5.read_text().splitlines()]
+
+
+def _own_md5(ivf):
+    return [digest for _, digest in decode_stream_md5(str(ivf))]
+
+
+@pytest.mark.parametrize("w,h,q,bs", [
+    (176, 144, 60, C.BLOCK_16X16),
+    (176, 144, 20, C.BLOCK_8X8),
+    (176, 144, 150, C.BLOCK_32X32),
+    (210, 122, 60, C.BLOCK_16X16),   # odd dims: forced edge splits
+    (98, 66, 80, C.BLOCK_64X64),
+])
+def test_encode_roundtrip(tmp_path, w, h, q, bs):
+    ivf = tmp_path / "enc.ivf"
+    frames = _make_frames(w, h, 2)
+    _encode_ivf(ivf, frames, base_qindex=q, block_size=bs)
+    own = _own_md5(ivf)
+    norm = _normative_md5(tmp_path, ivf)
+    assert len(own) == 2
+    assert own == norm
+
+
+def test_encode_lossless_exact(tmp_path):
+    """Lossless must reproduce the source planes bit-exactly — even on
+    pure noise (the exact forward WHT inverts the normative inverse)."""
+    rng = np.random.default_rng(9)
+    w, h = 176, 144
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    ivf = tmp_path / "ll.ivf"
+    _encode_ivf(ivf, [[y, u, v]], lossless=True, block_size=C.BLOCK_8X8,
+                mode_search=False)
+    raw = tmp_path / "ll.yuv"
+    norm = _normative_md5(tmp_path, ivf, raw_out=raw)
+    assert _own_md5(ivf) == norm
+    data = raw.read_bytes()
+    yd = np.frombuffer(data[:w * h], np.uint8).reshape(h, w)
+    ud = np.frombuffer(data[w * h:w * h + (w // 2) * (h // 2)],
+                       np.uint8).reshape(h // 2, w // 2)
+    assert np.array_equal(yd, y)
+    assert np.array_equal(ud, u)
+
+
+def test_encode_10bit_roundtrip(tmp_path):
+    ivf = tmp_path / "p2.ivf"
+    frames = _make_frames(176, 144, 2, bd=10)
+    _encode_ivf(ivf, frames, base_qindex=60, bit_depth=10)
+    assert _own_md5(ivf) == _normative_md5(tmp_path, ivf)
+
+
+def test_encode_psnr_floor(tmp_path):
+    """Reconstruction quality: q=60 on a smooth source clears 35 dB."""
+    w, h = 176, 144
+    frames = _make_frames(w, h, 1, noise=4)
+    ivf = tmp_path / "q.ivf"
+    _encode_ivf(ivf, frames, base_qindex=60)
+    raw = tmp_path / "q.yuv"
+    _normative_md5(tmp_path, ivf, raw_out=raw)
+    yd = np.frombuffer(raw.read_bytes()[:w * h], np.uint8).reshape(h, w)
+    d = yd.astype(np.float64) - frames[0][0].astype(np.float64)
+    psnr = 10 * np.log10(255.0 ** 2 / (d * d).mean())
+    assert psnr > 35.0, psnr
+
+
+def test_mode_search_beats_dc(tmp_path):
+    """Directional content: mode search must cost fewer bits than DC-only."""
+    w, h = 176, 144
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 90 * np.sign(np.sin(xx / 6.0))).clip(0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 160, np.uint8)
+    sizes = {}
+    for ms in (True, False):
+        ivf = tmp_path / f"ms{int(ms)}.ivf"
+        _encode_ivf(ivf, [[y, u, v]], base_qindex=80, mode_search=ms)
+        sizes[ms] = ivf.stat().st_size
+        assert _own_md5(ivf) == _normative_md5(tmp_path, ivf)
+    assert sizes[True] < sizes[False]
+
+
+def test_vpxenc_cli_y4m(tmp_path):
+    """vpxenc CLI: y4m in, IVF out, decodable by the public vpxdec API."""
+    from cuda_vp9_tpu.tools import vpxenc
+    w, h = 112, 80
+    y4m = tmp_path / "in.y4m"
+    frames = _make_frames(w, h, 2)
+    with open(y4m, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C420jpeg\n".encode())
+        for fr in frames:
+            f.write(b"FRAME\n")
+            for p in fr:
+                f.write(p.tobytes())
+    out = tmp_path / "out.ivf"
+    rc = vpxenc.main([str(y4m), "-o", str(out), "--qindex", "70"])
+    assert rc == 0
+    assert _own_md5(out) == _normative_md5(tmp_path, out)
+
+
+def test_y4m_reader_variants(tmp_path):
+    p = tmp_path / "v.y4m"
+    w, h = 32, 24
+    with open(p, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420mpeg2\n".encode())
+        f.write(b"FRAME\n")
+        f.write(bytes(w * h) + bytes((w // 2) * (h // 2)) * 2)
+    r = Y4mReader(str(p))
+    assert (r.width, r.height, r.fps) == (w, h, (25, 1))
+    fr = r.read_frame()
+    assert fr[0].shape == (h, w) and fr[1].shape == (h // 2, w // 2)
+    assert r.read_frame() is None
+    # raw fallback via open_raw_video
+    raw = tmp_path / "v.yuv"
+    raw.write_bytes(bytes(w * h + 2 * (w // 2) * (h // 2)))
+    rr = open_raw_video(str(raw), w, h)
+    assert rr.read_frame()[0].shape == (h, w)
+
+
+def test_bool_encoder_roundtrip():
+    import random
+    rng = random.Random(7)
+    for _ in range(50):
+        seq = [(rng.randrange(2), rng.randrange(1, 256))
+               for _ in range(rng.randrange(1, 300))]
+        enc = BoolEncoder()
+        for bit, p in seq:
+            enc.write(bit, p)
+        dec = BoolDecoder(enc.stop())
+        assert not dec.marker_bad
+        assert [dec.read(p) for _, p in seq] == [b for b, _ in seq]
+
+
+def test_bit_writer_roundtrip():
+    w = BitWriter()
+    w.f(0x2, 2)
+    w.f(12345, 16)
+    w.sf(-13, 6)
+    r = BitReader(w.data())
+    assert r.f(2) == 0x2
+    assert r.f(16) == 12345
+    assert r.sf(6) == -13
