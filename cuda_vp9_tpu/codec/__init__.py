@@ -118,7 +118,9 @@ class _Vp9DecoderIface:
             except Exception:
                 recon_fn = None
         try:
-            return NativeVp9Decoder(recon_fn=recon_fn), recon_fn
+            # cfg.threads -> tile-parallel host entropy parse
+            return NativeVp9Decoder(recon_fn=recon_fn,
+                                    threads=cfg.threads), recon_fn
         except Exception:
             # native library unavailable: pure-python host parse
             return Vp9Decoder(recon_fn=recon_fn), recon_fn

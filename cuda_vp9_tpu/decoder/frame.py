@@ -51,6 +51,28 @@ class DecodedFrame:
         return [y, u, v]
 
 
+def _peek_frame_kind(payload: bytes) -> str:
+    """'resync' for key/intra-only frames (they clear pbi->need_resync,
+    vp9_decodeframe.c read_uncompressed_header), 'show' for
+    show_existing_frame (exempt from the resync gate), 'other' else."""
+    from .bitreader import BitReader
+    rb = BitReader(payload)
+    if rb.f(2) != C.VP9_FRAME_MARKER:
+        return "other"
+    profile = rb.read_bit() | (rb.read_bit() << 1)
+    if profile > 2:
+        profile += rb.read_bit()
+    if rb.read_bit():            # show_existing_frame
+        return "show"
+    frame_type = rb.read_bit()
+    if frame_type == C.KEY_FRAME:
+        return "resync"
+    show_frame = rb.read_bit()
+    rb.read_bit()                # error_resilient_mode
+    intra_only = (not show_frame) and rb.read_bit()
+    return "resync" if intra_only else "other"
+
+
 class Vp9Decoder:
     """Single-stream VP9 decoder (host parse + pluggable reconstruction)."""
 
@@ -74,6 +96,10 @@ class Vp9Decoder:
         self._outputs = []
         self._recon_fn = recon_fn or self._recon_numpy
         self._hdr = None  # current frame header (during past-independence)
+        # same-instance keyframe resync (vp9_decoder.h pbi->need_resync:
+        # starts 1, cleared by a key/intra-only frame, set by any decode
+        # error; inter frames are refused while set)
+        self.need_resync = 1
 
     # --------------------------------------------------------- hooks
 
@@ -101,9 +127,16 @@ class Vp9Decoder:
 
     def decode(self, data: bytes):
         """Decode one compressed chunk (handles superframes); queued output
-        frames are retrieved with get_frame()."""
-        for off, sz in parse_superframe_index(data):
-            self._decode_one(data[off:off + sz])
+        frames are retrieved with get_frame().  On error the instance stays
+        usable: it drops input until the next key/intra-only frame
+        (vp9_receive_compressed_data need_resync semantics,
+        vp9_decoder.c:416-429)."""
+        try:
+            for off, sz in parse_superframe_index(data):
+                self._decode_one(data[off:off + sz])
+        except Exception:
+            self.need_resync = 1
+            raise
 
     def get_frame(self):
         if self._outputs:
@@ -118,6 +151,10 @@ class Vp9Decoder:
         return ref_recon.reconstruct_frame(plan, refs)
 
     def _decode_one(self, payload: bytes):
+        if self.need_resync and _peek_frame_kind(payload) == "other":
+            raise BitstreamError(
+                "keyframe / intra-only frame required to reset decoder "
+                "state (resync)")
         hdr = parse_uncompressed_header(payload, ref_sizes=self._ref_sizes,
                                         dec_ctx=self)
         if hdr.show_existing_frame:
@@ -133,6 +170,7 @@ class Vp9Decoder:
             return
 
         if hdr.frame_is_intra_only:
+            self.need_resync = 0
             self.bit_depth = hdr.bit_depth
             self.subsampling_x = hdr.subsampling_x
             self.subsampling_y = hdr.subsampling_y
@@ -241,18 +279,23 @@ def decode_stream_md5(ivf_path: str, max_frames: int = 10 ** 9):
 class NativeVp9Decoder:
     """Vp9Decoder variant with the C++ host entropy decoder (native/)."""
 
-    def __init__(self, recon_fn=None):
+    def __init__(self, recon_fn=None, threads: int = 1):
         from ..native import NativeParser, ShowExisting
         self._ShowExisting = ShowExisting
-        self._parser = NativeParser()
+        self._parser = NativeParser(threads=threads)
         self.ref_slots = [None] * C.REF_FRAMES
         self._outputs = []
         self._recon_fn = recon_fn or (
             lambda plan, refs: ref_recon.reconstruct_frame(plan, refs))
+        self.need_resync = 1  # see Vp9Decoder.need_resync
 
     def decode(self, data: bytes):
-        for off, sz in parse_superframe_index(data):
-            self._decode_one(data[off:off + sz])
+        try:
+            for off, sz in parse_superframe_index(data):
+                self._decode_one(data[off:off + sz])
+        except Exception:
+            self.need_resync = 1
+            raise
 
     def get_frame(self):
         if self._outputs:
@@ -264,6 +307,10 @@ class NativeVp9Decoder:
             yield self._outputs.pop(0)
 
     def _decode_one(self, payload: bytes):
+        if self.need_resync and _peek_frame_kind(payload) == "other":
+            raise BitstreamError(
+                "keyframe / intra-only frame required to reset decoder "
+                "state (resync)")
         plan = self._parser.parse(payload)
         if isinstance(plan, self._ShowExisting):
             rb = self.ref_slots[plan.frame_to_show]
@@ -274,6 +321,8 @@ class NativeVp9Decoder:
                 rb.ss_x, rb.ss_y))
             return
         hdr = plan.hdr
+        if hdr.frame_is_intra_only:
+            self.need_resync = 0
         refs = {}
         if not hdr.frame_is_intra_only:
             for i in range(C.REFS_PER_FRAME):

@@ -102,8 +102,8 @@ def build_library(force: bool = False) -> str:
                     for s in srcs)):
         return _SO
     subprocess.check_call(
-        ["g++", "-O3", "-shared", "-fPIC", "-Wall", "-Wno-unused-function",
-         "-o", _SO, _SRC])
+        ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-Wall",
+         "-Wno-unused-function", "-o", _SO, _SRC])
     return _SO
 
 
@@ -114,6 +114,7 @@ def _load():
         _lib = ct.CDLL(_SO)
         _lib.vp9h_create.restype = ct.c_void_p
         _lib.vp9h_destroy.argtypes = [ct.c_void_p]
+        _lib.vp9h_set_threads.argtypes = [ct.c_void_p, ct.c_int]
         _lib.vp9h_parse.restype = ct.c_int
         _lib.vp9h_parse.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int64,
                                     ct.POINTER(_PlanOut)]
@@ -195,11 +196,17 @@ class ShowExisting:
 class NativeParser:
     """One decoding context (persistent contexts live in C++)."""
 
-    def __init__(self):
+    def __init__(self, threads: int = 1):
         self._lib = _load()
         self._h = self._lib.vp9h_create()
         self._last_plan = None
         self._packin_cache = {}
+        if threads > 1:
+            self.set_threads(threads)
+
+    def set_threads(self, n: int):
+        """Tile-parallel entropy parse (vpx_codec_dec_cfg_t.threads)."""
+        self._lib.vp9h_set_threads(self._h, int(n))
 
     def __del__(self):
         if getattr(self, "_h", None):

@@ -15,6 +15,8 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <atomic>
+#include <thread>
 
 #include "vp9_tables.h"
 
@@ -197,6 +199,12 @@ struct Counts {
   uint32_t mv_class0_hp[2][2];
   uint32_t mv_hp[2][2];
   void clear() { memset(this, 0, sizeof(*this)); }
+  // merge another tile's counts (POD of uint32 arrays; summed wordwise)
+  void add(const Counts& o) {
+    uint32_t* a = (uint32_t*)this;
+    const uint32_t* b = (const uint32_t*)&o;
+    for (size_t i = 0; i < sizeof(*this) / sizeof(uint32_t); i++) a[i] += b[i];
+  }
 };
 
 // ------------------------------------------------------------ header state
@@ -328,11 +336,11 @@ struct Decoder {
   std::vector<int32_t> cur_mv;
   std::vector<int8_t> cur_ref;
 
-  // entropy ctx
+  // entropy ctx spanning the frame width (shared across tiles: tile
+  // columns own disjoint index ranges).  Left contexts live in TileCtx.
   std::vector<uint8_t> above_ctx[3];
-  uint8_t left_ctx[3][16];
   std::vector<uint8_t> above_seg;
-  uint8_t left_seg[8];
+  int n_threads = 1;  // DecCfg.threads: tile-parallel parse when > 1
 
   // plan outputs
   std::vector<int32_t> blocks;
@@ -344,10 +352,6 @@ struct Decoder {
   // per-frame derived
   int seg_dequant[2][8][2];   // [plane_type][seg][dc/ac]
   int tile_col_start_ = 0, tile_col_end_ = 0;
-
-  // scratch token buffer
-  int32_t dqcoeff[32 * 32];
-  uint8_t token_cache[32 * 32];
 
   // ======================================================= helpers
 
@@ -707,6 +711,12 @@ extern "C" {
 
 void* vp9h_create() { return new Decoder(); }
 void vp9h_destroy(void* h) { delete (Decoder*)h; }
+
+// DecCfg.threads: tile-parallel entropy parse (vpx_codec_dec_cfg_t.threads
+// -> decode_tiles_mt parity).  Safe to call between frames.
+void vp9h_set_threads(void* h, int n) {
+  ((Decoder*)h)->n_threads = n < 1 ? 1 : n;
+}
 
 int vp9h_parse(void* h, const uint8_t* data, int64_t size, PlanOut* out) {
   Decoder* d = (Decoder*)h;

@@ -54,6 +54,8 @@ def main(argv=None):
                     help="print decode rate summary")
     ap.add_argument("--host-recon", action="store_true",
                     help="force the host (numpy) reconstruction path")
+    ap.add_argument("-t", "--threads", type=int, default=1,
+                    help="tile-parallel host parse threads (vpxdec -t)")
     args = ap.parse_args(argv)
 
     if args.host_recon:
@@ -79,7 +81,7 @@ def main(argv=None):
             def make_decoder(self, cfg, use_device):
                 return base.make_decoder(cfg, False)
         iface = _HostIface()
-    if vpx_codec_dec_init(ctx, iface, DecCfg()) != 0:
+    if vpx_codec_dec_init(ctx, iface, DecCfg(threads=args.threads)) != 0:
         print("failed to init decoder", file=sys.stderr)
         return 1
 

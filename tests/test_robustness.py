@@ -41,21 +41,65 @@ def test_corrupt_first_frame_raises(mutate):
                 assert f.width > 0 and f.height > 0
 
 
-def test_corrupt_mid_stream_then_keyframe_recovers():
-    pkts = _packets("in01_176x144")
-    dec = NativeVp9Decoder()
+@pytest.mark.parametrize("dec_cls", [Vp9Decoder, NativeVp9Decoder])
+def test_same_instance_keyframe_resync(dec_cls):
+    """need_resync parity (vp9_decoder.c:416-429): after a corrupt frame
+    the SAME decoder instance refuses inter frames, then resumes bit-exact
+    at the next keyframe.  in01 has keyframes at frames 0 and 10."""
+    from cuda_vp9_tpu.utils.md5 import frame_md5
+    name, ivf, md5 = FIX["in01_176x144"]
+    golden = [line.split()[0] for line in md5.read_text().splitlines()]
+    pkts = _packets(name)
+    assert len(pkts) == len(golden) == 20
+
+    dec = dec_cls()
+    out = {}
+
+    def drain(i):
+        for f in dec.frames():
+            out[i] = frame_md5(f.visible_planes())
+
     dec.decode(pkts[0])
-    list(dec.frames())
-    try:
-        dec.decode(pkts[1][: len(pkts[1]) // 3])
-    except (BitstreamError, ValueError):
-        pass
-    list(dec.frames())
-    # a fresh decoder on the same stream still works (stateless recovery
-    # at the application level, matching vpx_codec re-init semantics)
-    dec2 = NativeVp9Decoder()
-    dec2.decode(pkts[0])
-    assert len(list(dec2.frames())) >= 0
+    drain(0)
+    dec.decode(pkts[1])
+    drain(1)
+    # corrupt frame 2: truncated payload must raise a clean error
+    with pytest.raises((BitstreamError, ValueError)):
+        dec.decode(pkts[2][: len(pkts[2]) // 3])
+    assert dec.need_resync == 1
+    # inter frames 3..9 are refused while resyncing (keyframe required)
+    for i in range(3, 10):
+        with pytest.raises((BitstreamError, ValueError)):
+            dec.decode(pkts[i])
+    # frame 10 is a keyframe: the same instance resumes, bit-exact
+    for i in range(10, 20):
+        dec.decode(pkts[i])
+        drain(i)
+    assert dec.need_resync == 0
+    assert out[0] == golden[0] and out[1] == golden[1]
+    for i in range(10, 20):
+        assert out[i] == golden[i], f"post-resync frame {i}"
+
+
+def test_codec_api_same_instance_resync():
+    """The public API surface of the same contract: vpx_codec_decode
+    returns VPX_CODEC_CORRUPT_FRAME while resyncing, then recovers."""
+    from cuda_vp9_tpu.codec import (FrameIter, vpx_codec_get_frame,
+                                    VPX_CODEC_CORRUPT_FRAME)
+    name, ivf, md5 = FIX["in01_176x144"]
+    pkts = _packets(name)
+    ctx = CodecCtx()
+    assert vpx_codec_dec_init(ctx, vp9_dx(), DecCfg()) == VPX_CODEC_OK
+    assert vpx_codec_decode(ctx, pkts[0]) == VPX_CODEC_OK
+    assert vpx_codec_decode(ctx, pkts[1][:9]) == VPX_CODEC_CORRUPT_FRAME
+    assert vpx_codec_decode(ctx, pkts[2]) == VPX_CODEC_CORRUPT_FRAME
+    assert vpx_codec_decode(ctx, pkts[10]) == VPX_CODEC_OK  # keyframe
+    assert vpx_codec_decode(ctx, pkts[11]) == VPX_CODEC_OK
+    it = FrameIter()
+    shown = 0
+    while vpx_codec_get_frame(ctx, it) is not None:
+        shown += 1
+    assert shown >= 3  # frames 0, 10, 11
 
 
 def test_codec_api_error_code_on_garbage():
