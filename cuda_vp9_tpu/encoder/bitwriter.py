@@ -32,6 +32,7 @@ class BoolEncoder:
 
     def write(self, bit: int, prob: int) -> None:
         """Encode one bool with P(0) = prob/256."""
+        prob = int(prob)
         r = self.range
         split = 1 + (((r - 1) * prob) >> 8)
         if bit:

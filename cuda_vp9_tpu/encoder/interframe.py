@@ -1,0 +1,314 @@
+"""Synthetic VP9 inter-frame writer: ZEROMV / skip-all frames.
+
+Writes spec-valid non-key frames whose every block is a 64x64 (or edge-
+split) SINGLE-reference LAST_FRAME ZEROMV skip block — i.e. the decoded
+frame is EXACTLY the (possibly scaled) motion-compensated prediction of
+the reference.  Encoding the frame at a different size than its
+reference makes every pixel exercise the scaled-reference MC path
+(vp9/common/vp9_scale.c vp9_setup_scale_factors_for_frame), which no
+encoder reachable from this environment will otherwise produce — this is
+both the scaled-MC test-vector generator and the first inter-frame slice
+of the encoder (S19).
+
+All entropy contexts are computed by the DECODER'S own machinery
+(decoder.tiles.FrameParseState + decodemv/mvref context helpers), so the
+writer cannot drift from the parse side.
+"""
+
+from __future__ import annotations
+
+from .. import models as M
+from ..decoder import constants as C
+from ..decoder import decodemv, mvref
+from ..decoder.headers import (FrameHeader, LoopFilterParams,
+                               SegmentationParams)
+from ..decoder.compressed_header import CompressedHeader
+from ..decoder.tiles import (FrameParseState, TileInfo, Xd,
+                             _dec_partition_plane_context,
+                             _dec_update_partition_context)
+from .bitwriter import BitWriter, BoolEncoder, tree_paths
+
+_PARTITION_PATHS = tree_paths(M.PARTITION_TREE)
+_INTER_MODE_PATHS = tree_paths(M.INTER_MODE_TREE)
+
+
+def write_inter_zeromv_frame(width: int, height: int, base_qindex: int = 60,
+                             ref_slot: int = 0, refresh_flags: int = 0,
+                             profile: int = 0, bit_depth: int = 8) -> bytes:
+    """One show_frame=1 error-resilient inter frame, all-ZEROMV-skip.
+
+    The frame references `ref_slot` for LAST/GOLDEN/ALTREF; its size may
+    differ from the reference's (within the normative 2x-down / 16x-up
+    scaling bounds, vp9/common/vp9_common.h valid_ref_frame_size)."""
+    hdr = _make_header(width, height, base_qindex, ref_slot, refresh_flags,
+                       profile, bit_depth)
+    fc = M.FrameContext.default()
+    st = _make_state(hdr, fc)
+
+    comp = _compressed_header_inter()
+    tile = _write_tile(st, hdr, fc)
+    unc = _uncompressed_header(hdr, len(comp))
+    return unc + comp + tile
+
+
+def _make_header(width, height, base_qindex, ref_slot, refresh_flags,
+                 profile, bit_depth) -> FrameHeader:
+    hdr = FrameHeader()
+    hdr.profile = profile
+    hdr.frame_type = 1  # non-key
+    hdr.show_frame = 1
+    hdr.error_resilient_mode = 1
+    hdr.intra_only = 0
+    hdr.width = width
+    hdr.height = height
+    hdr.render_width = width
+    hdr.render_height = height
+    hdr.bit_depth = bit_depth
+    hdr.subsampling_x = hdr.subsampling_y = 1
+    hdr.base_qindex = base_qindex
+    hdr.lossless = 0
+    hdr.refresh_frame_flags = refresh_flags
+    for i in range(C.REFS_PER_FRAME):
+        hdr.ref_frame_idx[i] = ref_slot
+        hdr.ref_frame_sign_bias[C.LAST_FRAME + i] = 0
+    hdr.allow_high_precision_mv = 0
+    hdr.interp_filter = C.LITERAL_TO_FILTER_MAP[0]
+    hdr.refresh_frame_context = 0
+    hdr.frame_parallel_decoding_mode = 1
+    hdr.frame_context_idx = 0
+    hdr.lf = LoopFilterParams()
+    hdr.lf.filter_level = 0
+    hdr.seg = SegmentationParams()
+    hdr.compute_geometry()
+    hdr.log2_tile_cols = _min_log2_tile_cols(hdr.sb_cols)
+    hdr.log2_tile_rows = 0
+    return hdr
+
+
+def _min_log2_tile_cols(sb64_cols: int) -> int:
+    v = 0
+    while (C.MAX_TILE_WIDTH_B64 << v) < sb64_cols:
+        v += 1
+    return v
+
+
+def _max_log2_tile_cols(sb64_cols: int) -> int:
+    v = 1
+    while (sb64_cols >> v) >= C.MIN_TILE_WIDTH_B64:
+        v += 1
+    return v - 1
+
+
+def _make_state(hdr: FrameHeader, fc) -> FrameParseState:
+    ch = CompressedHeader()
+    ch.tx_mode = C.ALLOW_32X32
+    ch.reference_mode = C.SINGLE_REFERENCE
+
+    class _DS:
+        subsampling_x = 1
+        subsampling_y = 1
+        seg_map_last = None
+        use_prev_frame_mvs = False
+        prev_ref = None
+        prev_mv = None
+
+    return FrameParseState(hdr, ch, fc, None, _DS)
+
+
+def _uncompressed_header(hdr: FrameHeader, comp_size: int) -> bytes:
+    wb = BitWriter()
+    wb.f(C.VP9_FRAME_MARKER, 2)
+    wb.write_bit(hdr.profile & 1)
+    wb.write_bit((hdr.profile >> 1) & 1)
+    wb.write_bit(0)                    # show_existing_frame
+    wb.write_bit(1)                    # frame_type: non-key
+    wb.write_bit(1)                    # show_frame
+    wb.write_bit(1)                    # error_resilient_mode
+    wb.f(hdr.refresh_frame_flags, 8)
+    for i in range(C.REFS_PER_FRAME):
+        wb.f(hdr.ref_frame_idx[i], C.REF_FRAMES_LOG2)
+        wb.write_bit(0)                # sign bias
+    for _ in range(C.REFS_PER_FRAME):
+        wb.write_bit(0)                # size NOT taken from this ref
+    wb.f(hdr.width - 1, 16)
+    wb.f(hdr.height - 1, 16)
+    wb.write_bit(0)                    # render == frame size
+    wb.write_bit(0)                    # allow_high_precision_mv
+    wb.write_bit(0)                    # interp filter: literal follows
+    wb.f(0, 2)                         # LITERAL_TO_FILTER_MAP[0] (EIGHTTAP)
+    # error_resilient: no refresh_frame_context / frame_parallel bits
+    wb.f(0, C.FRAME_CONTEXTS_LOG2)     # frame_context_idx
+    wb.f(0, 6)                         # lf filter_level
+    wb.f(0, 3)                         # lf sharpness
+    wb.write_bit(0)                    # mode_ref_delta_enabled
+    wb.f(hdr.base_qindex, 8)
+    wb.write_bit(0)                    # y_dc_delta
+    wb.write_bit(0)                    # uv_dc_delta
+    wb.write_bit(0)                    # uv_ac_delta
+    wb.write_bit(0)                    # segmentation
+    if hdr.log2_tile_cols < _max_log2_tile_cols(hdr.sb_cols):
+        wb.write_bit(0)
+    wb.write_bit(0)                    # log2_tile_rows
+    wb.f(comp_size, 16)
+    return wb.data()
+
+
+def _compressed_header_inter() -> bytes:
+    """Inter-frame compressed header with zero probability updates
+    (mirror of read_compressed_header's non-intra-only sections)."""
+    w = BoolEncoder()
+    w.write_literal(C.ALLOW_32X32, 2)
+    w.write_bit(0)                     # not TX_MODE_SELECT
+    for _ in range(C.TX_32X32 + 1):    # coef prob updates per tx size
+        w.write_bit(0)
+    no = lambda: w.write(0, C.DIFF_UPDATE_PROB)  # noqa: E731
+    for _ in range(C.SKIP_CONTEXTS):
+        no()
+    for _ in range(C.INTER_MODE_CONTEXTS * (C.INTER_MODES - 1)):
+        no()
+    # interp_filter != SWITCHABLE: no switchable section
+    for _ in range(C.INTRA_INTER_CONTEXTS):
+        no()
+    # sign biases all equal -> compound not allowed -> no reference-mode
+    # bits; SINGLE_REFERENCE -> single_ref updates only
+    for _ in range(C.REF_CONTEXTS * 2):
+        no()
+    for _ in range(C.BLOCK_SIZE_GROUPS * (C.INTRA_MODES - 1)):
+        no()
+    for _ in range(C.PARTITION_CONTEXTS * (C.PARTITION_TYPES - 1)):
+        no()
+    # mv probs (update_mv_prob bools at MV_UPDATE_PROB)
+    nomv = lambda: w.write(0, C.MV_UPDATE_PROB)  # noqa: E731
+    for _ in range(C.MV_JOINTS - 1):
+        nomv()
+    for _ in range(2):
+        nomv()                                   # sign
+        for _ in range(C.MV_CLASSES - 1):
+            nomv()
+        for _ in range(C.CLASS0_SIZE - 1):
+            nomv()
+        for _ in range(C.MV_OFFSET_BITS):
+            nomv()
+    for _ in range(2):
+        for _ in range(C.CLASS0_SIZE * (C.MV_FP_SIZE - 1)):
+            nomv()
+        for _ in range(C.MV_FP_SIZE - 1):
+            nomv()
+    # allow_hp == 0: no hp updates
+    return w.stop()
+
+
+def _write_tile(st: FrameParseState, hdr: FrameHeader, fc) -> bytes:
+    tile_cols = 1 << hdr.log2_tile_cols
+    chunks = []
+    partition_probs = fc.partition.tolist()
+    for tci in range(tile_cols):
+        col_start = _tile_offset(tci, hdr.mi_cols, hdr.log2_tile_cols)
+        col_end = _tile_offset(tci + 1, hdr.mi_cols, hdr.log2_tile_cols)
+        w = BoolEncoder()
+        xd = Xd()
+        xd.tile = TileInfo(0, hdr.mi_rows, col_start, col_end)
+        for mi_row in range(0, hdr.mi_rows, C.MI_BLOCK_SIZE):
+            st.zero_left_ctx()
+            for mi_col in range(col_start, col_end, C.MI_BLOCK_SIZE):
+                _encode_partition(st, xd, w, partition_probs, mi_row,
+                                  mi_col, C.BLOCK_64X64, 4)
+        chunks.append(w.stop())
+    out = bytearray()
+    for i, c in enumerate(chunks):
+        if i != len(chunks) - 1:
+            out += len(c).to_bytes(4, "big")
+        out += c
+    return bytes(out)
+
+
+def _tile_offset(idx, mis, log2):
+    sb_cols = ((mis + 7) & ~7) >> C.MI_BLOCK_SIZE_LOG2
+    return min(((idx * sb_cols) >> log2) << C.MI_BLOCK_SIZE_LOG2, mis)
+
+
+def _encode_partition(st, xd, w, probs_all, mi_row, mi_col, bsize, n4x4_l2):
+    if mi_row >= st.mi_rows or mi_col >= st.mi_cols:
+        return
+    n8x8_l2 = n4x4_l2 - 1
+    num8 = 1 << n8x8_l2
+    hbs = num8 >> 1
+    has_rows = (mi_row + hbs) < st.mi_rows
+    has_cols = (mi_col + hbs) < st.mi_cols
+    fits = has_rows and has_cols
+    partition = (C.PARTITION_NONE if (not hbs or fits)
+                 else C.PARTITION_SPLIT)
+    ctx = _dec_partition_plane_context(st, mi_row, mi_col, n8x8_l2)
+    probs = probs_all[ctx]
+    if has_rows and has_cols:
+        w.write_tree(M.PARTITION_TREE, probs, _PARTITION_PATHS, partition)
+    elif not has_rows and has_cols:
+        w.write(1, probs[1])           # SPLIT
+    elif has_rows and not has_cols:
+        w.write(1, probs[2])           # SPLIT
+    subsize = int(M.SUBSIZE_LOOKUP[partition][bsize])
+    if partition == C.PARTITION_NONE:
+        _encode_block(st, xd, w, mi_row, mi_col, subsize,
+                      max(n4x4_l2, 1), max(n4x4_l2, 1))
+    else:
+        _encode_partition(st, xd, w, probs_all, mi_row, mi_col, subsize,
+                          n8x8_l2)
+        _encode_partition(st, xd, w, probs_all, mi_row, mi_col + hbs,
+                          subsize, n8x8_l2)
+        _encode_partition(st, xd, w, probs_all, mi_row + hbs, mi_col,
+                          subsize, n8x8_l2)
+        _encode_partition(st, xd, w, probs_all, mi_row + hbs, mi_col + hbs,
+                          subsize, n8x8_l2)
+    if bsize >= C.BLOCK_8X8 and (bsize == C.BLOCK_8X8
+                                 or partition != C.PARTITION_SPLIT):
+        _dec_update_partition_context(st, mi_row, mi_col, subsize, num8)
+
+
+def _encode_block(st, xd, w, mi_row, mi_col, bsize, bwl, bhl):
+    """One ZEROMV / LAST / skip inter block; contexts via decodemv."""
+    g = st.mi
+    fc = st.fc
+    bw = 1 << (bwl - 1)
+    bh = 1 << (bhl - 1)
+    x_mis = min(bw, st.mi_cols - mi_col)
+    y_mis = min(bh, st.mi_rows - mi_row)
+
+    g.sb_type[mi_row, mi_col] = bsize
+    xd.mb_to_top_edge = -((mi_row * C.MI_SIZE) * 8)
+    xd.mb_to_bottom_edge = ((st.mi_rows - bh - mi_row) * C.MI_SIZE) * 8
+    xd.mb_to_left_edge = -((mi_col * C.MI_SIZE) * 8)
+    xd.mb_to_right_edge = ((st.mi_cols - bw - mi_col) * C.MI_SIZE) * 8
+    xd.above = g.at(mi_row - 1, mi_col) if mi_row > 0 else None
+    xd.left = (g.at(mi_row, mi_col - 1)
+               if mi_col > xd.tile.mi_col_start else None)
+
+    # skip = 1 (fc.skip[ctx]; _read_skip parity)
+    above, left = xd.above, xd.left
+    skip_ctx = ((above.skip if above is not None else 0)
+                + (left.skip if left is not None else 0))
+    w.write(1, int(fc.skip[skip_ctx]))
+    # is_inter = 1 (_read_is_inter_block parity)
+    ii_ctx = decodemv._get_intra_inter_context(xd)
+    w.write(1, int(fc.intra_inter[ii_ctx]))
+    # tx_size: allow_select = (!skip || !inter) = False -> no bits
+    # ref frames: SINGLE_REFERENCE; single_ref p1 bit 0 -> LAST_FRAME
+    g.segment_id[mi_row, mi_col] = 0
+    p1_ctx = decodemv._get_pred_context_single_ref_p1(xd)
+    w.write(0, int(fc.single_ref[p1_ctx][0]))
+    g.ref[mi_row, mi_col, 0] = C.LAST_FRAME
+    g.ref[mi_row, mi_col, 1] = C.NONE_FRAME
+    # inter mode: ZEROMV via the tree at the mvref-derived mode context
+    mode_ctx = mvref.get_mode_context(st, xd, bsize, mi_row, mi_col)
+    w.write_tree(M.INTER_MODE_TREE, fc.inter_mode[mode_ctx].tolist(),
+                 _INTER_MODE_PATHS, C.ZEROMV - C.NEARESTMV)
+    # interp_filter != SWITCHABLE: no bits
+
+    # grid updates (read_mode_info tail parity)
+    g.mode[mi_row, mi_col] = C.ZEROMV
+    g.skip[mi_row, mi_col] = 1
+    g.tx_size[mi_row, mi_col] = min(
+        int(M.MAX_TXSIZE_LOOKUP[bsize]),
+        int(M.TX_MODE_TO_BIGGEST_TX_SIZE[C.ALLOW_32X32]))
+    g.interp_filter[mi_row, mi_col] = st.interp_filter
+    g.mv[mi_row, mi_col] = 0
+    decodemv._replicate(st, mi_row, mi_col, x_mis, y_mis)

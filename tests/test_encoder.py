@@ -183,6 +183,33 @@ def test_y4m_reader_variants(tmp_path):
     assert rr.read_frame()[0].shape == (h, w)
 
 
+def test_inter_zeromv_scaled_roundtrip(tmp_path):
+    """Synthetic ZEROMV/skip inter frames at non-reference sizes: the
+    decoded frames are the scaled MC predictions and must match the
+    normative decoder bit-exactly (scaled-reference path,
+    vp9/common/vp9_scale.c)."""
+    from cuda_vp9_tpu.encoder.interframe import write_inter_zeromv_frame
+    w, h = 176, 144
+    frames = _make_frames(w, h, 1)
+    enc = Vp9Encoder(w, h, base_qindex=60)
+    ivf = tmp_path / "sc.ivf"
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        wtr.write_frame(enc.encode_frame(frames[0]), 0)
+        # same size, down 2x, fractional, up 2x, resize-with-refresh
+        for i, (sw, sh, rf) in enumerate([(176, 144, 0), (88, 72, 0),
+                                          (130, 110, 0), (352, 288, 0),
+                                          (88, 72, 0xFF), (176, 144, 0)]):
+            wtr.write_frame(write_inter_zeromv_frame(sw, sh,
+                                                     refresh_flags=rf),
+                            i + 1)
+        wtr.close()
+    own = _own_md5(ivf)
+    norm = _normative_md5(tmp_path, ivf)
+    assert len(own) == 7
+    assert own == norm
+
+
 def test_bool_encoder_roundtrip():
     import random
     rng = random.Random(7)

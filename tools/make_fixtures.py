@@ -113,6 +113,13 @@ def main():
                                                "cpu_used=2"])
     gen("br01_352x288_lowq", 352, 288, 15, ["gop=9999", "crf=50", "cpu_used=4"])
     gen("hq01_176x144_hiq", 176, 144, 10, ["gop=9999", "crf=10", "cpu_used=0"])
+    # --- scaled references (mid-stream resize; no reachable encoder
+    # emits these, so the repo's own synthetic inter-frame writer does:
+    # every block ZEROMV/skip => the frame IS the scaled prediction) ---
+    gen_scaled("sc01_352x288_scaled", 352, 288,
+               [(176, 144, 0), (256, 224, 0), (330, 270, 0),
+                (704, 576, 0), (176, 144, 0xFF), (330, 270, 0),
+                (352, 288, 0)])
     # --- profile 2, 10-bit ---
     gen("p2_01_176x144_10b", 176, 144, 8, ["gop=4", "crf=30", "cpu_used=2",
                                            "bitdepth=10", "profile=2"],
@@ -165,6 +172,39 @@ def gen_ss(name: str, w: int, h: int, n: int, ss: int, enc_opts: list[str],
     run([ORACLE_BIN, "encode", str(w), str(h), yuv, ivf,
          f"pixfmt={ss}", "profile=1"] + enc_opts)
     run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+
+
+def gen_scaled(name: str, w: int, h: int, frames: list, seed: int = 7):
+    """Scaled-reference fixture: keyframe from the repo's own encoder,
+    then ZEROMV/skip inter frames at the given (w, h, refresh_flags)
+    sizes — each decodes to the scaled MC prediction of its reference
+    (vp9/common/vp9_scale.c path).  Golden MD5s from the normative
+    libavcodec vp9 decoder."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(ROOT))
+    from cuda_vp9_tpu.containers.ivf import IvfWriter
+    from cuda_vp9_tpu.encoder import Vp9Encoder
+    from cuda_vp9_tpu.encoder.interframe import write_inter_zeromv_frame
+    os.makedirs(FIXDIR, exist_ok=True)
+    raw = np.frombuffer(synth_video(w, h, 1, seed=seed), np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = raw[:w * h].reshape(h, w)
+    u = raw[w * h:w * h + cw * ch].reshape(ch, cw)
+    v = raw[w * h + cw * ch:].reshape(ch, cw)
+    enc = Vp9Encoder(w, h, base_qindex=50)
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        wtr.write_frame(enc.encode_frame([y, u, v]), 0)
+        for i, (sw, sh, refresh) in enumerate(frames):
+            wtr.write_frame(
+                write_inter_zeromv_frame(sw, sh, refresh_flags=refresh),
+                i + 1)
+        wtr.close()
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    print(f"  {name}: {len(open(ivf,'rb').read())} bytes, "
+          f"{open(md5).read().count(chr(10))} frames")
 
 
 def gen_vp8(name: str, w: int, h: int, n: int, enc_opts: list[str],
