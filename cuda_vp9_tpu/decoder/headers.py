@@ -350,10 +350,15 @@ def parse_uncompressed_header(data: bytes, ref_sizes=None,
     hdr.frame_context_idx = rb.f(C.FRAME_CONTEXTS_LOG2)
     hdr.compute_geometry()
 
-    if (hdr.frame_is_intra_only or hdr.error_resilient_mode) \
-            and dec_ctx is not None:
-        dec_ctx.on_past_independence(hdr)
-        hdr.frame_context_idx = 0
+    if hdr.frame_is_intra_only or hdr.error_resilient_mode:
+        # vp9_setup_past_independence (vp9_entropymode.c:467) zeroes the
+        # reference sign biases — an error-resilient frame can never
+        # code compound prediction, and MV sign flips are disabled,
+        # regardless of the sign-bias bits parsed above
+        hdr.ref_frame_sign_bias = [0, 0, 0, 0]
+        if dec_ctx is not None:
+            dec_ctx.on_past_independence(hdr)
+            hdr.frame_context_idx = 0
 
     _setup_loopfilter(rb, hdr.lf)
     _setup_quantization(rb, hdr)

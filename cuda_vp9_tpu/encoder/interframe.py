@@ -34,30 +34,44 @@ _INTER_MODE_PATHS = tree_paths(M.INTER_MODE_TREE)
 
 def write_inter_zeromv_frame(width: int, height: int, base_qindex: int = 60,
                              ref_slot: int = 0, refresh_flags: int = 0,
-                             profile: int = 0, bit_depth: int = 8) -> bytes:
+                             profile: int = 0, bit_depth: int = 8,
+                             compound_slots: tuple | None = None) -> bytes:
     """One show_frame=1 error-resilient inter frame, all-ZEROMV-skip.
 
     The frame references `ref_slot` for LAST/GOLDEN/ALTREF; its size may
     differ from the reference's (within the normative 2x-down / 16x-up
-    scaling bounds, vp9/common/vp9_common.h valid_ref_frame_size)."""
-    hdr = _make_header(width, height, base_qindex, ref_slot, refresh_flags,
-                       profile, bit_depth)
-    fc = M.FrameContext.default()
-    st = _make_state(hdr, fc)
+    scaling bounds, vp9/common/vp9_common.h valid_ref_frame_size).
 
-    comp = _compressed_header_inter()
+    With compound_slots=(var_slot, fixed_slot), every block is instead a
+    COMPOUND_REFERENCE LAST+ALTREF ZEROMV pair: the ALTREF sign bias is
+    flipped (vp9_decodeframe.c:3221 -> allow_comp_inter_inter), LAST/
+    GOLDEN map to var_slot and ALTREF to fixed_slot, and the decoded
+    frame is the normative (p0 + p1 + 1) >> 1 average of the two
+    references — the compound prediction path end to end."""
+    hdr = _make_header(width, height, base_qindex, ref_slot, refresh_flags,
+                       profile, bit_depth, compound_slots)
+    fc = M.FrameContext.default()
+    st = _make_state(hdr, fc, compound=compound_slots is not None)
+
+    comp = _compressed_header_inter(compound=compound_slots is not None)
     tile = _write_tile(st, hdr, fc)
     unc = _uncompressed_header(hdr, len(comp))
     return unc + comp + tile
 
 
 def _make_header(width, height, base_qindex, ref_slot, refresh_flags,
-                 profile, bit_depth) -> FrameHeader:
+                 profile, bit_depth, compound_slots=None) -> FrameHeader:
     hdr = FrameHeader()
     hdr.profile = profile
     hdr.frame_type = 1  # non-key
     hdr.show_frame = 1
-    hdr.error_resilient_mode = 1
+    # error-resilient frames CANNOT code compound prediction:
+    # vp9_setup_past_independence zeroes the sign biases
+    # (vp9_entropymode.c:467), and mixed sign biases are what allow it.
+    # Compound frames are written non-resilient with
+    # reset_frame_context=0 / refresh_frame_context=0 /
+    # frame_parallel=1, so default probabilities still apply.
+    hdr.error_resilient_mode = 0 if compound_slots is not None else 1
     hdr.intra_only = 0
     hdr.width = width
     hdr.height = height
@@ -68,9 +82,18 @@ def _make_header(width, height, base_qindex, ref_slot, refresh_flags,
     hdr.base_qindex = base_qindex
     hdr.lossless = 0
     hdr.refresh_frame_flags = refresh_flags
-    for i in range(C.REFS_PER_FRAME):
-        hdr.ref_frame_idx[i] = ref_slot
-        hdr.ref_frame_sign_bias[C.LAST_FRAME + i] = 0
+    if compound_slots is not None:
+        var_slot, fixed_slot = compound_slots
+        hdr.ref_frame_idx[0] = var_slot    # LAST
+        hdr.ref_frame_idx[1] = var_slot    # GOLDEN
+        hdr.ref_frame_idx[2] = fixed_slot  # ALTREF (comp_fixed_ref)
+        hdr.ref_frame_sign_bias[C.LAST_FRAME] = 0
+        hdr.ref_frame_sign_bias[C.GOLDEN_FRAME] = 0
+        hdr.ref_frame_sign_bias[C.ALTREF_FRAME] = 1
+    else:
+        for i in range(C.REFS_PER_FRAME):
+            hdr.ref_frame_idx[i] = ref_slot
+            hdr.ref_frame_sign_bias[C.LAST_FRAME + i] = 0
     hdr.allow_high_precision_mv = 0
     hdr.interp_filter = C.LITERAL_TO_FILTER_MAP[0]
     hdr.refresh_frame_context = 0
@@ -99,10 +122,15 @@ def _max_log2_tile_cols(sb64_cols: int) -> int:
     return v - 1
 
 
-def _make_state(hdr: FrameHeader, fc) -> FrameParseState:
+def _make_state(hdr: FrameHeader, fc, compound=False) -> FrameParseState:
+    from ..decoder.compressed_header import _setup_compound_reference_mode
     ch = CompressedHeader()
     ch.tx_mode = C.ALLOW_32X32
     ch.reference_mode = C.SINGLE_REFERENCE
+    if compound:
+        ch.reference_mode = C.COMPOUND_REFERENCE
+        ch.allow_comp_inter_inter = True
+        _setup_compound_reference_mode(hdr, ch)
 
     class _DS:
         subsampling_x = 1
@@ -123,11 +151,13 @@ def _uncompressed_header(hdr: FrameHeader, comp_size: int) -> bytes:
     wb.write_bit(0)                    # show_existing_frame
     wb.write_bit(1)                    # frame_type: non-key
     wb.write_bit(1)                    # show_frame
-    wb.write_bit(1)                    # error_resilient_mode
+    wb.write_bit(hdr.error_resilient_mode)
+    if not hdr.error_resilient_mode:
+        wb.f(0, 2)                     # reset_frame_context = 0
     wb.f(hdr.refresh_frame_flags, 8)
     for i in range(C.REFS_PER_FRAME):
         wb.f(hdr.ref_frame_idx[i], C.REF_FRAMES_LOG2)
-        wb.write_bit(0)                # sign bias
+        wb.write_bit(hdr.ref_frame_sign_bias[C.LAST_FRAME + i])
     for _ in range(C.REFS_PER_FRAME):
         wb.write_bit(0)                # size NOT taken from this ref
     wb.f(hdr.width - 1, 16)
@@ -136,7 +166,9 @@ def _uncompressed_header(hdr: FrameHeader, comp_size: int) -> bytes:
     wb.write_bit(0)                    # allow_high_precision_mv
     wb.write_bit(0)                    # interp filter: literal follows
     wb.f(0, 2)                         # LITERAL_TO_FILTER_MAP[0] (EIGHTTAP)
-    # error_resilient: no refresh_frame_context / frame_parallel bits
+    if not hdr.error_resilient_mode:
+        wb.write_bit(0)                # refresh_frame_context
+        wb.write_bit(1)                # frame_parallel_decoding_mode
     wb.f(0, C.FRAME_CONTEXTS_LOG2)     # frame_context_idx
     wb.f(0, 6)                         # lf filter_level
     wb.f(0, 3)                         # lf sharpness
@@ -153,7 +185,7 @@ def _uncompressed_header(hdr: FrameHeader, comp_size: int) -> bytes:
     return wb.data()
 
 
-def _compressed_header_inter() -> bytes:
+def _compressed_header_inter(compound=False) -> bytes:
     """Inter-frame compressed header with zero probability updates
     (mirror of read_compressed_header's non-intra-only sections)."""
     w = BoolEncoder()
@@ -169,10 +201,19 @@ def _compressed_header_inter() -> bytes:
     # interp_filter != SWITCHABLE: no switchable section
     for _ in range(C.INTRA_INTER_CONTEXTS):
         no()
-    # sign biases all equal -> compound not allowed -> no reference-mode
-    # bits; SINGLE_REFERENCE -> single_ref updates only
-    for _ in range(C.REF_CONTEXTS * 2):
-        no()
+    if compound:
+        # mixed sign biases -> reference-mode bits are read
+        # (_read_frame_reference_mode): (1, 0) = COMPOUND_REFERENCE,
+        # then comp_ref updates only
+        w.write_bit(1)
+        w.write_bit(0)
+        for _ in range(C.REF_CONTEXTS):
+            no()
+    else:
+        # sign biases all equal -> compound not allowed -> no
+        # reference-mode bits; SINGLE_REFERENCE -> single_ref updates
+        for _ in range(C.REF_CONTEXTS * 2):
+            no()
     for _ in range(C.BLOCK_SIZE_GROUPS * (C.INTRA_MODES - 1)):
         no()
     for _ in range(C.PARTITION_CONTEXTS * (C.PARTITION_TYPES - 1)):
@@ -291,12 +332,24 @@ def _encode_block(st, xd, w, mi_row, mi_col, bsize, bwl, bhl):
     ii_ctx = decodemv._get_intra_inter_context(xd)
     w.write(1, int(fc.intra_inter[ii_ctx]))
     # tx_size: allow_select = (!skip || !inter) = False -> no bits
-    # ref frames: SINGLE_REFERENCE; single_ref p1 bit 0 -> LAST_FRAME
     g.segment_id[mi_row, mi_col] = 0
-    p1_ctx = decodemv._get_pred_context_single_ref_p1(xd)
-    w.write(0, int(fc.single_ref[p1_ctx][0]))
-    g.ref[mi_row, mi_col, 0] = C.LAST_FRAME
-    g.ref[mi_row, mi_col, 1] = C.NONE_FRAME
+    if st.reference_mode == C.COMPOUND_REFERENCE:
+        # comp_ref bit 0 -> first var ref (LAST); fixed ref = ALTREF
+        # (_read_ref_frames COMPOUND branch)
+        cr_ctx = decodemv._get_pred_context_comp_ref_p(st, xd)
+        w.write(0, int(fc.comp_ref[cr_ctx]))
+        idx = st.ref_frame_sign_bias[st.comp_fixed_ref]
+        ref = [0, 0]
+        ref[idx] = st.comp_fixed_ref
+        ref[1 - idx] = st.comp_var_ref[0]
+        g.ref[mi_row, mi_col, 0] = ref[0]
+        g.ref[mi_row, mi_col, 1] = ref[1]
+    else:
+        # SINGLE_REFERENCE; single_ref p1 bit 0 -> LAST_FRAME
+        p1_ctx = decodemv._get_pred_context_single_ref_p1(xd)
+        w.write(0, int(fc.single_ref[p1_ctx][0]))
+        g.ref[mi_row, mi_col, 0] = C.LAST_FRAME
+        g.ref[mi_row, mi_col, 1] = C.NONE_FRAME
     # inter mode: ZEROMV via the tree at the mvref-derived mode context
     mode_ctx = mvref.get_mode_context(st, xd, bsize, mi_row, mi_col)
     w.write_tree(M.INTER_MODE_TREE, fc.inter_mode[mode_ctx].tolist(),

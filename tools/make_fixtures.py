@@ -113,6 +113,9 @@ def main():
                                                "cpu_used=2"])
     gen("br01_352x288_lowq", 352, 288, 15, ["gop=9999", "crf=50", "cpu_used=4"])
     gen("hq01_176x144_hiq", 176, 144, 10, ["gop=9999", "crf=10", "cpu_used=0"])
+    # --- max-density stream: pure noise at near-min q, every block coded
+    # (exercises the wide-tier escalation + bounded host fallback) ---
+    gen_dense("dn01_176x144_dense", 176, 144, 4)
     # --- scaled references (mid-stream resize; no reachable encoder
     # emits these, so the repo's own synthetic inter-frame writer does:
     # every block ZEROMV/skip => the frame IS the scaled prediction) ---
@@ -120,6 +123,9 @@ def main():
                [(176, 144, 0), (256, 224, 0), (330, 270, 0),
                 (704, 576, 0), (176, 144, 0xFF), (330, 270, 0),
                 (352, 288, 0)])
+    # --- compound prediction (mixed sign bias; synthetic writer:
+    # libvpx 1-pass CRF never emits alt-refs here) ---
+    gen_compound("cp01_352x288_compound", 352, 288)
     # --- profile 2, 10-bit ---
     gen("p2_01_176x144_10b", 176, 144, 8, ["gop=4", "crf=30", "cpu_used=2",
                                            "bitdepth=10", "profile=2"],
@@ -174,6 +180,27 @@ def gen_ss(name: str, w: int, h: int, n: int, ss: int, enc_opts: list[str],
     run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
 
 
+def gen_dense(name: str, w: int, h: int, n: int, seed: int = 123):
+    """Pure-noise frames at near-minimum q: maximal coefficient density,
+    the worst case for the device packing capacities."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    out = bytearray()
+    for _ in range(n):
+        out += rng.integers(0, 256, h * w, dtype=np.uint8).tobytes()
+        out += rng.integers(0, 256, ch * cw * 2, dtype=np.uint8).tobytes()
+    yuv = os.path.join("/tmp", f"fix_{name}.yuv")
+    with open(yuv, "wb") as f:
+        f.write(bytes(out))
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    run([ORACLE_BIN, "encode", str(w), str(h), yuv, ivf,
+         "gop=2", "crf=6", "cpu_used=4"])
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    os.unlink(yuv)
+
+
 def gen_scaled(name: str, w: int, h: int, frames: list, seed: int = 7):
     """Scaled-reference fixture: keyframe from the repo's own encoder,
     then ZEROMV/skip inter frames at the given (w, h, refresh_flags)
@@ -201,6 +228,63 @@ def gen_scaled(name: str, w: int, h: int, frames: list, seed: int = 7):
             wtr.write_frame(
                 write_inter_zeromv_frame(sw, sh, refresh_flags=refresh),
                 i + 1)
+        wtr.close()
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    print(f"  {name}: {len(open(ivf,'rb').read())} bytes, "
+          f"{open(md5).read().count(chr(10))} frames")
+
+
+def gen_compound(name: str, w: int, h: int, seed: int = 11):
+    """Compound-prediction (sign-bias) fixture via the synthetic writer:
+    no reachable encoder emits compound refs, so flip the ALTREF sign
+    bias and write COMPOUND ZEROMV frames.  Distinct same-size
+    references come from different scaling chains of the keyframe
+    (direct 2x-down vs fractional-then-down), so the compound average is
+    non-trivial.  Covers: pure unscaled compound, and compound whose
+    fixed ref is scaled.  Golden MD5s from the normative libavcodec
+    decoder."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(ROOT))
+    from cuda_vp9_tpu.containers.ivf import IvfWriter
+    from cuda_vp9_tpu.encoder import Vp9Encoder
+    from cuda_vp9_tpu.encoder.interframe import write_inter_zeromv_frame
+    os.makedirs(FIXDIR, exist_ok=True)
+    raw = np.frombuffer(synth_video(w, h, 1, seed=seed), np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = raw[:w * h].reshape(h, w)
+    u = raw[w * h:w * h + cw * ch].reshape(ch, cw)
+    v = raw[w * h + cw * ch:].reshape(ch, cw)
+    hw, hh = w // 2, h // 2
+    fw, fh = (w * 2) // 3, (h * 2) // 3     # fractional intermediate
+    enc = Vp9Encoder(w, h, base_qindex=50)
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        pts = 0
+        wtr.write_frame(enc.encode_frame([y, u, v]), pts)  # all slots = A
+        for payload in (
+            # slot1 = direct downscale of A
+            write_inter_zeromv_frame(hw, hh, ref_slot=0,
+                                     refresh_flags=1 << 1),
+            # slot2 = fractional then down (differs from slot1)
+            write_inter_zeromv_frame(fw, fh, ref_slot=0,
+                                     refresh_flags=1 << 2),
+            write_inter_zeromv_frame(hw, hh, ref_slot=2,
+                                     refresh_flags=1 << 2),
+            # size-breaker before each compound frame: compound frames
+            # are non-error-resilient, and a same-size predecessor
+            # would arm use_prev_frame_mvs (which the writer's contexts
+            # do not model)
+            write_inter_zeromv_frame(fw, fh, ref_slot=2),
+            # UNSCALED compound: var=slot1, fixed=slot2 (both hw x hh)
+            write_inter_zeromv_frame(hw, hh, compound_slots=(1, 2)),
+            write_inter_zeromv_frame(fw, fh, ref_slot=2),
+            # compound with a SCALED fixed ref: var=slot1, fixed=slot0
+            write_inter_zeromv_frame(hw, hh, compound_slots=(1, 0)),
+        ):
+            pts += 1
+            wtr.write_frame(payload, pts)
         wtr.close()
     run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
     print(f"  {name}: {len(open(ivf,'rb').read())} bytes, "
