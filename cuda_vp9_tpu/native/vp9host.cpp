@@ -427,6 +427,9 @@ struct Decoder {
     lf.ref_deltas[0] = 1; lf.ref_deltas[1] = 0;
     lf.ref_deltas[2] = -1; lf.ref_deltas[3] = -1;
     lf.mode_deltas[0] = lf.mode_deltas[1] = 0;
+    // vp9_entropymode.c:467 — sign biases are zeroed, so an
+    // error-resilient frame can never code compound prediction
+    for (int i = 0; i < 4; i++) hdr.ref_frame_sign_bias[i] = 0;
     std::fill(seg_map_last.begin(), seg_map_last.end(), 0);
     if (hdr.frame_type == KEY_FRAME || hdr.error_resilient
         || hdr.reset_frame_context == 3) {

@@ -226,6 +226,122 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
         lambda g, F: group(n_ref0 + g * G, n_chunks, True, F), F)
 
 
+def _mcs_chunk_compute(pool, kernels, hd, u, br, bd):
+    """Predict one chunk of SCALED-reference 4x4 tiles (vpx_scaled_2d
+    parity: per-output-column/row q4 position stepping,
+    vp9/common/vp9_scale.c).  u [CH, 16]: the 12 classic fields plus
+    (xs, ys) = per-ref step_q4 (16 = unscaled; <=32 by the spec's 2x
+    downscale limit).  Same 3-stage MXU formulation as the unscaled
+    kernel, generalized: a 24-wide window covers the worst-case source
+    span (x0-3 .. x0+10 for xs<=32), the horizontal banded matrix gets
+    per-column taps/offsets, and the vertical 8-tap becomes a selection
+    matmul with per-row phases over 14 intermediate rows."""
+    N = u.shape[0]
+    pwa = pool.shape[3]
+    x0, y0, spx, spy = u[:, 4], u[:, 5], u[:, 6], u[:, 7]
+    filt, cw, chh = u[:, 8], u[:, 9], u[:, 10]
+    xs, ys = u[:, 12], u[:, 13]
+    IH = 14            # ((3*32 + 15) >> 4) + 8: max intermediate rows
+    WW = 24            # window width (3 segments)
+    maxv = (1 << bd) - 1
+    S = (pwa + WW + 8) // 8
+    mdt = jnp.bfloat16 if bd == 8 else jnp.float32
+    prec = None if bd == 8 else jax.lax.Precision.HIGHEST
+
+    band = jax.lax.dynamic_slice(
+        pool, (hd[0], hd[1], hd[2], 0), (1, 1, br, pwa))[0, 0]
+    band_r = jnp.pad(band, ((0, 0), (0, S * 8 - pwa))).reshape(br, S, 8)
+    cidx = jnp.arange(4, dtype=I32)[None, :]
+    xq4 = spx[:, None] + cidx * xs[:, None]          # [N, 4]
+    src_x = x0[:, None] + (xq4 >> 4)
+    fxk = kernels[filt[:, None], xq4 & 15]           # [N, 4, 8]
+    lo = jnp.clip(x0 - 3, 0, cw - 1)
+    q = jnp.minimum(lo >> 3, S - 3)
+    # window select: OH [N, 3, S] x band_r [br, S, 8] -> W [N, br, 24]
+    segs = jnp.arange(S, dtype=I32)[None, None, :]
+    t3 = jnp.arange(3, dtype=I32)[None, :, None]
+    oh = (segs == (q[:, None, None] + t3)).astype(mdt)
+    W3 = jax.lax.dot_general(
+        oh, band_r.astype(mdt), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    W = W3.transpose(0, 2, 1, 3).reshape(N, br, WW)
+    # source-row selection (normative edge clamp into [0, chh-1])
+    rr = jnp.clip(y0[:, None] - 3 + jnp.arange(IH, dtype=I32)[None, :],
+                  0, chh[:, None] - 1) - hd[2]
+    oh_r = (rr[:, :, None] == jnp.arange(br, dtype=I32)[None, None, :]
+            ).astype(mdt)
+    Wr = jax.lax.dot_general(
+        oh_r, W.astype(mdt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [N, IH, 24]
+    # horizontal banded matrix with PER-COLUMN taps and offsets:
+    #   Mf[n, j, c] = sum_k fx[n, c, k] * [clip(src_x[n,c]+k-3, 0, cw-1)
+    #                                      - 8q == j]
+    jj = jnp.arange(WW, dtype=I32)[None, :, None]
+    Mf = jnp.zeros((N, WW, 4), jnp.float32)
+    for k in range(8):
+        tgt = jnp.clip(src_x + k - 3, 0, cw[:, None] - 1) \
+            - (q[:, None] << 3)                       # [N, 4]
+        Mf = Mf + fxk[:, :, k][:, None, :] * (tgt[:, None, :] == jj)
+    temp = jax.lax.dot_general(
+        Wr.astype(mdt), Mf.astype(mdt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [N, IH, 4]
+    temp = jnp.clip((temp.astype(I32) + 64) >> 7, 0, maxv)
+    # vertical: per-row phase selection matmul over the IH temp rows
+    yq4 = spy[:, None] + cidx * ys[:, None]          # [N, 4]
+    ty = yq4 >> 4
+    fyk = kernels[filt[:, None], yq4 & 15]           # [N, 4, 8]
+    tt = jnp.arange(IH, dtype=I32)[None, None, :]
+    Mv = jnp.zeros((N, 4, IH), jnp.float32)
+    for k in range(8):
+        Mv = Mv + fyk[:, :, k][:, :, None] * ((ty[:, :, None] + k) == tt)
+    out = jax.lax.dot_general(
+        Mv.astype(mdt), temp.astype(mdt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [N, 4, 4]
+    return jnp.clip((out.astype(I32) + 64) >> 7, 0, maxv)
+
+
+def _mcs_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
+              br, bd):
+    """Land the scaled-reference 4x4 class: group-staged scatter
+    (same landing as the unscaled 4x4 class; this pass runs LAST so a
+    compound average with a scaled ref0 sees its first prediction)."""
+    CAPC, CH = mc_units.shape[0], mc_units.shape[1]
+    G = 4
+    h = w = 4
+
+    def group(base, limit, is_avg, F):
+        stage = jnp.zeros((G * CH, h, w), I32)
+        us = []
+        valid = []
+        for j in range(G):
+            ci = base + j
+            u = jax.lax.dynamic_index_in_dim(mc_units, ci, 0, False)
+            hd = jax.lax.dynamic_index_in_dim(mc_hdrs, ci, 0, False)
+            out = _mcs_chunk_compute(pool, kernels, hd, u, br, bd)
+            stage = jax.lax.dynamic_update_slice(stage, out, (j * CH, 0, 0))
+            us.append(u)
+            valid.append(jnp.full((CH,), ci < limit))
+        uu = jnp.concatenate(us)
+        vv = jnp.concatenate(valid)
+        plane, dx = uu[:, 0], uu[:, 1]
+        dy = jnp.where(uu[:, 2] == 0, -(1 << 20), uu[:, 2] - 1)
+        dy = jnp.where(vv, dy, -(1 << 20))
+        rows_o = dy[:, None, None] + jnp.arange(h, dtype=I32)[None, :, None]
+        cols_o = dx[:, None, None] + jnp.arange(w, dtype=I32)[None, None, :]
+        if is_avg:
+            cur = F[plane[:, None, None], rows_o, cols_o]
+            stage = (cur + stage + 1) >> 1
+        return F.at[plane[:, None, None], rows_o, cols_o].set(
+            stage, mode="drop")
+
+    F = jax.lax.fori_loop(
+        0, (n_ref0 + G - 1) // G,
+        lambda g, F: group(g * G, n_ref0, False, F), F)
+    return jax.lax.fori_loop(
+        0, (n_chunks - n_ref0 + G - 1) // G,
+        lambda g, F: group(n_ref0 + g * G, n_chunks, True, F), F)
+
+
 # ----------------------------------------------------------------- intra
 
 
@@ -262,12 +378,20 @@ def _intra_pass(F, R, chunks, chunk_bs, n_chunks, bd):
 
 def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                     layout, lossless: bool, bd: int = 8,
-                    pages_tier: int = 0, jit_wrap: bool = True):
+                    pages_tier: int = 0, jit_wrap: bool = True,
+                    pool_geom=None):
     """Build the jitted fused step for one frame geometry.
 
     step(pool, ring, kernels, flat_or_pages) -> (new_pool, new_ring)
-      pool    [8, 3, ha, wa] int32 device-resident reference pool (donated)
-      ring    [RING, nout] uint8 output ring (donated; slot = misc[13])
+      pool    [8, 3, pha, pwa] int32 device-resident reference pool
+              (donated).  pool_geom=(pha, pwa) >= the frame canvas —
+              references can be LARGER than the frame when scaled
+              prediction (mid-stream resize / SVC) is in play; each
+              pool slot holds its frame in the top-left corner and MC
+              tiles clamp reads to the per-ref crop dims.
+      ring    [RING, nout_ring] uint8 output ring (donated; slot =
+              misc[13]); nout_ring is the POOL-geometry frame size, the
+              frame's planes occupy the row prefix
       flat    [K*PAGE] int16 packed frame (pack.pack_frame), OR — when
               pages_tier > 0 — a compacted [hdr_rows + 1 + tier, PAGE]
               int16 upload whose zero pages were elided (header rows
@@ -279,6 +403,7 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
     from .pack import PAGE
     ha = ((mi_rows + 7) & ~7) * 8
     wa = ((mi_cols + 7) & ~7) * 8
+    pha, pwa = pool_geom if pool_geom is not None else (ha, wa)
     R2, C2 = cdiv(mi_rows, 2), cdiv(mi_cols, 2)
     K = cdiv(layout.size, PAGE)
 
@@ -338,13 +463,18 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                 return _residual_pass(R, cm, pos, tx, lossless, bd)
 
             R = jax.lax.fori_loop(0, misc[16 + bi], body, R)
-        br = min(160, ha)
+        br = min(160, pha)
         F = _mc_pass(F, pool, kernels, seg("mc4"), seg("mc4h"),
                      misc[0], misc[23], 4, 4, br, bd)
         F = _mc_pass(F, pool, kernels, seg("mc8"), seg("mc8h"),
                      misc[1], misc[24], 8, 8, br, bd)
         F = _mc_pass(F, pool, kernels, seg("mc16"), seg("mc16h"),
                      misc[2], misc[25], 16, 16, br, bd)
+        if "mcs" in layout.segs:
+            # scaled-reference tiles (runs LAST: compound averages with
+            # a scaled first reference see their ref0 prediction)
+            F = _mcs_pass(F, pool, kernels, seg("mcs"), seg("mcsh"),
+                          misc[14], misc[15], br, bd)
         # inter residual add over non-skip inter mi cells
         m = seg("mi_mask")
         mask = jnp.zeros((3, ha, wa), jnp.bool_)
@@ -362,7 +492,11 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                      interpret=jax.default_backend() == "cpu")
         # in-step reference-pool refresh
         refresh = misc[5:13]
-        pool = jnp.where(refresh[:, None, None, None] > 0, F[None], pool)
+        if (pha, pwa) != (ha, wa):
+            Fp = jnp.zeros((3, pha, pwa), I32).at[:, :ha, :wa].set(F)
+        else:
+            Fp = F
+        pool = jnp.where(refresh[:, None, None, None] > 0, Fp[None], pool)
         # write the frame into its output-ring slot (fetched in one D2H per
         # RING frames: the tunnel's device->host fixed cost amortizes);
         # high bit depth rings are int16 (pixels <= 4095)
@@ -371,6 +505,10 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         out = jnp.concatenate(
             [F[0].reshape(-1), F[1, :hc, :wc].reshape(-1),
              F[2, :hc, :wc].reshape(-1)]).astype(odt)
+        nout_ring = ring.shape[1]
+        if out.shape[0] < nout_ring:
+            # ring rows are pool-geometry sized; pad the tail
+            out = jnp.zeros((nout_ring,), odt).at[:out.shape[0]].set(out)
         ring = jax.lax.dynamic_update_index_in_dim(ring, out, misc[13], 0)
         return pool, ring
 
@@ -425,14 +563,22 @@ def get_batched_step(n_streams: int, mi_rows: int, mi_cols: int,
 
 
 def get_frame_step(mi_rows: int, mi_cols: int, tier: str, lossless: bool,
-                   bd: int = 8, pages_tier: int = 0):
-    """Cached (step, caps, layout) for one frame-geometry/cap-tier key."""
+                   bd: int = 8, pages_tier: int = 0, pool_geom=None):
+    """Cached (step, caps, layout) for one frame-geometry/cap-tier key.
+    pool_geom=(pha, pwa): reference-pool canvas, >= the frame canvas
+    (differs when scaled references / mid-stream resizes are live)."""
     from . import pack
-    key = (mi_rows, mi_cols, tier, lossless, bd, pages_tier)
+    ha = ((mi_rows + 7) & ~7) * 8
+    wa = ((mi_cols + 7) & ~7) * 8
+    if pool_geom is None or tuple(pool_geom) == (ha, wa):
+        pool_geom = None
+    key = (mi_rows, mi_cols, tier, lossless, bd, pages_tier, pool_geom)
     if key not in _STEP_CACHE:
-        caps = pack.compute_caps(mi_rows, mi_cols, tier, lossless)
+        pha = pool_geom[0] if pool_geom else None
+        caps = pack.compute_caps(mi_rows, mi_cols, tier, lossless,
+                                 pool_ha=pha)
         layout = pack.build_layout(caps, mi_rows, mi_cols, lossless, bd)
         step = make_frame_step(mi_rows, mi_cols, caps, layout, lossless,
-                               bd, pages_tier)
+                               bd, pages_tier, pool_geom=pool_geom)
         _STEP_CACHE[key] = (step, caps, layout)
     return _STEP_CACHE[key]

@@ -33,6 +33,7 @@ CHUNK_INTRA = 64
 CHUNK_MC4 = 256
 CHUNK_MC8 = 128
 CHUNK_MC16 = 64
+CHUNK_MCS = 128   # scaled-reference 4x4 tiles (16-wide records)
 
 
 def band_params(ha):
@@ -84,11 +85,24 @@ def _note_overflow(seg, needed, cap):
 
 
 def compute_caps(mi_rows: int, mi_cols: int, tier: str,
-                 lossless: bool = False) -> Dict[str, int]:
+                 lossless: bool = False,
+                 pool_ha: int | None = None) -> Dict[str, int]:
     w4, h4 = mi_cols * 2, mi_rows * 2
     cells = w4 * h4          # luma 4x4 blocks
     total44 = cells + 2 * (cells // 4)
     worst = [max(16, total44 >> (2 * t)) for t in range(4)]
+    if tier == "scaled":
+        # scaled-reference frames (mid-stream resize / SVC inter-layer):
+        # the wide tier plus an "mcs" class of 4x4 tiles with per-column
+        # subpel stepping (vp9_scale.c / vpx_scaled_2d parity).  Worst
+        # case: every 4x4 cell compound-predicted from scaled refs.
+        caps = compute_caps(mi_rows, mi_cols, "wide", lossless, pool_ha)
+        caps["tier"] = "scaled"
+        pha = pool_ha or ((mi_rows + 7) & ~7) * 8
+        br, stride = band_params(pha)
+        groups = 2 * 3 * 3 * ((pha - 1) // stride + 1)
+        caps["mcs"] = cdiv(total44 * 2, CHUNK_MCS) + groups
+        return caps
     caps = {"tier": tier}
     if tier == "full":
         # intra-only frames must NEVER overflow: worst-case everywhere
@@ -107,7 +121,10 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         m4_worst = (cells + 2 * (cells // 4)) * 2
         m8_worst = (cells // 4 + 2 * (cells // 16)) * 2
         m16_worst = (cells // 16 + 2 * (cells // 64)) * 2
-        # chunks are (slot, plane, row-band)-homogeneous: add group slack
+        # chunks are (slot, plane, row-band)-homogeneous: add group slack.
+        # Slack is sized from the FRAME canvas; with an enlarged pool
+        # (scaled refs) the band count can exceed it — a pack that then
+        # overflows falls back to the host oracle, still bit-exact.
         ha = ((mi_rows + 7) & ~7) * 8
         br, stride = band_params(ha)
         groups = 2 * 3 * 3 * ((ha - 1) // stride + 1)  # avg x slot x plane
@@ -183,6 +200,11 @@ def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8) -> FlatLayout:
     L.add("mc4h", (caps["mc4"], 4))
     L.add("mc8h", (caps["mc8"], 4))
     L.add("mc16h", (caps["mc16"], 4))
+    if "mcs" in caps:
+        # scaled-reference 4x4 tiles: [.., 12] classic fields plus
+        # (xs, ys) step_q4 and 2 pad columns
+        L.add("mcs", (caps["mcs"], CHUNK_MCS, 16))
+        L.add("mcsh", (caps["mcs"], 4))
     L.add("intra", (caps["intra"], CHUNK_INTRA, 9))
     L.add("chunk_bs", (caps["intra"],))
     L.add("mi_mask", (mi_rows, mi_cols))
@@ -326,16 +348,19 @@ def _blocks_arr(plan):
 
 def _mc_tiles_vectorized(plan, refs, slot_map):
     """Emit MC tile rows [n, 12] per tile class, vectorized over blocks
-    (dec_build_inter_predictors parity for the unscaled fast path; the
-    pipeline falls back to the host oracle for scaled references, so only
-    same-size refs reach here).  Sub-8x8 blocks (split MVs with averaged
-    chroma) go through the per-block reference path."""
+    (dec_build_inter_predictors parity).  Sub-8x8 blocks (split MVs with
+    averaged chroma) go through the per-block reference path.  Blocks
+    predicting from a SCALED reference (vp9_scale.c: ref dims differ
+    from the frame) route to the "mcs" class of 4x4 tiles with q4 step
+    fields — including the partner reference of a compound block whose
+    ref0 is scaled, so the compound average always lands after the first
+    prediction (the mcs pass runs last in the fused step)."""
     from ..ops.ref import inter as ref_inter
     hdr = plan.hdr
     mi = plan.mi
     ss = (hdr.subsampling_x, hdr.subsampling_y)
     blocks = _blocks_arr(plan)
-    out = {4: [], 8: [], 16: []}
+    out = {4: [], 8: [], 16: [], "s": []}
     if not len(blocks):
         return out
     br, bc, bs, bwl, bhl = (blocks[:, i] for i in range(5))
@@ -352,13 +377,36 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
             crop[(k - 1, p)] = ((rb.width + sx) >> sx,
                                 (rb.height + sy) >> sy)
 
+    # per-ref fixed-point scale factors (vp9_setup_scale_factors_for_frame)
+    xfp = np.full(4, 1 << 14, np.int64)
+    yfp = np.full(4, 1 << 14, np.int64)
+    xstep = np.full(4, 16, np.int64)
+    ystep = np.full(4, 16, np.int64)
+    issc = np.zeros(4, bool)
+    for k, rb in refs.items():
+        if rb is None:
+            continue
+        sf = ref_inter.ScaleFactors(rb.width, rb.height,
+                                    hdr.width, hdr.height)
+        if sf.is_valid():
+            xfp[k], yfp[k] = sf.x_scale_fp, sf.y_scale_fp
+            xstep[k], ystep[k] = sf.x_step_q4, sf.y_step_q4
+            issc[k] = sf.is_scaled()
+    if issc.any():
+        r1 = mi.ref[br, bc, 1].astype(np.int64)
+        sc0 = inter & issc[np.clip(ref0, 0, 3)]
+        sc1 = inter & (r1 > C.INTRA_FRAME) & issc[np.clip(r1, 0, 3)]
+    else:
+        sc0 = sc1 = np.zeros(len(br), bool)
+
     # ---- vectorized path: >= 8x8 blocks
     sel0 = inter & big
     if sel0.any():
         compound = mi.ref[br, bc, 1].astype(np.int32) > C.INTRA_FRAME
         filt = mi.interp_filter[br, bc].astype(np.int32)
         for ref_i in range(2):
-            sel = sel0 if ref_i == 0 else (sel0 & compound)
+            sel = (sel0 & ~sc0) if ref_i == 0 \
+                else (sel0 & compound & ~sc0 & ~sc1)
             if not sel.any():
                 continue
             idx = np.nonzero(sel)[0]
@@ -425,9 +473,9 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
         for wl, hl in sorted(set(zip(bwl[idx_all].tolist(),
                                      bhl[idx_all].tolist()))):
             for ref_i in range(2):
-                m = sel & (bwl == wl) & (bhl == hl)
+                m = sel & (bwl == wl) & (bhl == hl) & ~sc0
                 if ref_i:
-                    m &= compound
+                    m &= compound & ~sc1
                 if not m.any():
                     continue
                 idx = np.nonzero(m)[0]
@@ -463,23 +511,153 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
                                 scol & 15, srow & 15, filt, cwl, chl,
                                 np.full(len(idx), ref_i, np.int64)],
                                 axis=1))
+
+    # ---- scaled-reference units -> "mcs" 4x4 tiles (per-column q4 step)
+    if sc0.any() or sc1.any():
+        compound = mi.ref[br, bc, 1].astype(np.int64) > C.INTRA_FRAME
+        filt_all = mi.interp_filter[br, bc].astype(np.int64)
+
+        def round_q4(v):
+            q = np.where(v >= 0, v + 2, v - 2)
+            return np.where(q >= 0, q // 4, -((-q) // 4))
+
+        def emit_scaled(idx, ref_i, mv_rc, x_off, y_off, w, h, plane,
+                        sx, sy):
+            """_mc_unit param derivation (scaled branch per the ref's
+            scale factors, unscaled otherwise), vectorized over blocks
+            idx for one plane-local unit of (w, h) at (x_off, y_off),
+            chopped into 4x4 mcs tiles — per-tile subpel origins advance
+            by the q4 step, so tiling composes exactly."""
+            r, c = br[idx], bc[idx]
+            rf = mi.ref[r, c, ref_i].astype(np.int64)
+            sc = issc[np.clip(rf, 0, 3)]
+            bwm = (1 << (bwl[idx] - 1)).astype(np.int64)
+            bhm = (1 << (bhl[idx] - 1)).astype(np.int64)
+            mi_x = c.astype(np.int64) * 8
+            mi_y = r.astype(np.int64) * 8
+            mb_l = -mi_x * 8
+            mb_t = -mi_y * 8
+            mb_r = (np.int64(hdr.mi_cols) - bwm - c) * 64
+            mb_b = (np.int64(hdr.mi_rows) - bhm - r) * 64
+            r4 = mv_rc[:, 0] << (1 - sy)
+            c4 = mv_rc[:, 1] << (1 - sx)
+            # normative off-frame clamp (dec_build_inter_predictors
+            # scaled branch; INTERP_EXTEND=4, SUBPEL_SHIFTS=16)
+            spel_l = (4 + w) << 4
+            spel_t = (4 + h) << 4
+            # max(lo, min(hi, v)) — NOT np.clip: when an edge-clipped
+            # block makes lo > hi the normative result is lo
+            r4s = np.maximum(mb_t * (1 << (1 - sy)) - spel_t,
+                             np.minimum(mb_b * (1 << (1 - sy))
+                                        + (spel_t - 16), r4))
+            c4s = np.maximum(mb_l * (1 << (1 - sx)) - spel_l,
+                             np.minimum(mb_r * (1 << (1 - sx))
+                                        + (spel_l - 16), c4))
+            x_start = (-mb_l) >> (3 + sx)
+            y_start = (-mb_t) >> (3 + sy)
+            fxp, fyp = xfp[rf], yfp[rf]
+            x0s = ((x_start + x_off) * fxp) >> 14
+            y0s = ((y_start + y_off) * fyp) >> 14
+            # vp9_scale_mv: scaled MV plus the block-position q4 offset
+            scol_s = ((c4s * fxp) >> 14) + \
+                ((((mi_x + x_off) << 4) * fxp >> 14) & 15)
+            srow_s = ((r4s * fyp) >> 14) + \
+                ((((mi_y + y_off) << 4) * fyp >> 14) & 15)
+            x0 = np.where(sc, x0s, x_start + x_off)
+            y0 = np.where(sc, y0s, y_start + y_off)
+            scol = np.where(sc, scol_s, c4)
+            srow = np.where(sc, srow_s, r4)
+            spx = scol & 15
+            spy = srow & 15
+            x0 = x0 + (scol >> 4)
+            y0 = y0 + (srow >> 4)
+            xs = np.where(sc, xstep[rf], 16)
+            ys = np.where(sc, ystep[rf], 16)
+            dx = (mi_x >> sx) + x_off
+            dy = (mi_y >> sy) + y_off
+            cwl = np.ones(len(idx), np.int64)
+            chl = np.ones(len(idx), np.int64)
+            for k in (1, 2, 3):
+                if (k - 1, plane) in crop:
+                    mk = rf == k
+                    cwl[mk], chl[mk] = crop[(k - 1, plane)]
+            zero = np.zeros(len(idx), np.int64)
+            for ty in range(h // 4):
+                for tx in range(w // 4):
+                    dqx = spx + 4 * tx * xs
+                    dqy = spy + 4 * ty * ys
+                    out["s"].append(np.stack([
+                        np.full(len(idx), plane, np.int64),
+                        dx + 4 * tx, dy + 4 * ty + 1, slot_map[rf - 1],
+                        x0 + (dqx >> 4), y0 + (dqy >> 4),
+                        dqx & 15, dqy & 15, filt_all[idx], cwl, chl,
+                        np.full(len(idx), ref_i, np.int64),
+                        xs, ys, zero, zero], axis=1))
+
+        for ref_i in range(2):
+            mbase = sc0 if ref_i == 0 else (compound & (sc0 | sc1))
+            mb_big = inter & big & mbase
+            if mb_big.any():
+                for wl, hl in sorted(set(zip(bwl[mb_big].tolist(),
+                                             bhl[mb_big].tolist()))):
+                    mm = mb_big & (bwl == wl) & (bhl == hl)
+                    idx = np.nonzero(mm)[0]
+                    mv = mi.mv[br[idx], bc[idx], ref_i].astype(np.int64)
+                    for plane in range(3):
+                        sx = ss[0] if plane else 0
+                        sy = ss[1] if plane else 0
+                        emit_scaled(idx, ref_i, mv, 0, 0,
+                                    (4 << wl) >> sx, (4 << hl) >> sy,
+                                    plane, sx, sy)
+            mb_sub = inter & ~big & mbase
+            if mb_sub.any():
+                assert ss == (1, 1), "fused pack is 4:2:0-only"
+                for wl, hl in sorted(set(zip(bwl[mb_sub].tolist(),
+                                             bhl[mb_sub].tolist()))):
+                    mm = mb_sub & (bwl == wl) & (bhl == hl)
+                    idx = np.nonzero(mm)[0]
+                    bmv = mi.bmi_mv[br[idx], bc[idx], :, ref_i] \
+                        .astype(np.int64)
+                    for plane in range(3):
+                        sx, sy = (1, 1) if plane else (0, 0)
+                        n4w = (1 << wl) >> sx
+                        n4h = (1 << hl) >> sy
+                        for y in range(n4h):
+                            for x in range(n4w):
+                                if plane:
+                                    mvv = np.stack(
+                                        [round_q4(bmv[:, :, 0].sum(1)),
+                                         round_q4(bmv[:, :, 1].sum(1))], 1)
+                                else:
+                                    mvv = bmv[:, y * 2 + x]
+                                emit_scaled(idx, ref_i, mvv, 4 * x, 4 * y,
+                                            4, 4, plane, sx, sy)
     return out
 
 
-def _pack_mc(plan, refs, caps, layout, buf):
+def _pack_mc(plan, refs, caps, layout, buf, pool_ha=None):
     hdr = plan.hdr
     slot_map = np.asarray(hdr.ref_frame_idx, np.int64)
     groups_np = _mc_tiles_vectorized(plan, refs, slot_map)
     tiles = {}
-    for ts in (4, 8, 16):
+    for ts in (4, 8, 16, "s"):
         tiles[ts] = np.concatenate(groups_np[ts]) if groups_np[ts] \
-            else np.zeros((0, 12), np.int64)
-    ha = ((hdr.mi_rows + 7) & ~7) * 8
+            else np.zeros((0, 16 if ts == "s" else 12), np.int64)
+    if tiles["s"].shape[0] and "mcs" not in layout.segs:
+        # scaled-reference tiles need the "scaled" cap tier
+        _note_overflow("mcs", tiles["s"].shape[0], 0)
+        return None
+    # band range spans the POOL canvas (refs can be larger than the
+    # frame when scaled references are in play)
+    ha = pool_ha or ((hdr.mi_rows + 7) & ~7) * 8
     br, stride = band_params(ha)
     nums = []
     nums_ref0 = []
-    for ts, chunk, name in ((4, CHUNK_MC4, "mc4"), (8, CHUNK_MC8, "mc8"),
-                            (16, CHUNK_MC16, "mc16")):
+    classes = [(4, CHUNK_MC4, "mc4"), (8, CHUNK_MC8, "mc8"),
+               (16, CHUNK_MC16, "mc16")]
+    if "mcs" in layout.segs:
+        classes.append(("s", CHUNK_MCS, "mcs"))
+    for ts, chunk, name in classes:
         # group tiles by (is_avg, slot, plane, row band); every chunk is
         # homogeneous in (slot, plane, band) so the device kernel reads
         # one [BR, wa] band slice and filters it on the MXU.  avg groups
@@ -607,7 +785,7 @@ def _pack_lf(plan, caps, layout, buf):
 PAGE = 512  # int16 elements per transfer page (1 KB)
 
 
-def pack_frame(plan, refs, caps, layout):
+def pack_frame(plan, refs, caps, layout, pool_ha=None):
     """Pack one frame into a flat int16 buffer (padded to a PAGE multiple;
     zero pages are elided from the host->device transfer).  Returns None
     when the tight-tier capacities overflow (caller falls back to the
@@ -619,9 +797,9 @@ def pack_frame(plan, refs, caps, layout):
     if ncoeff is None:
         return None
     if hdr.frame_is_intra_only:
-        nmc, nmc0 = [0, 0, 0], [0, 0, 0]
+        nmc, nmc0 = [0, 0, 0, 0], [0, 0, 0, 0]
     else:
-        packed_mc = _pack_mc(plan, refs, caps, layout, buf)
+        packed_mc = _pack_mc(plan, refs, caps, layout, buf, pool_ha)
         if packed_mc is None:
             return None
         nmc, nmc0 = packed_mc
@@ -648,4 +826,8 @@ def pack_frame(plan, refs, caps, layout):
     # before it are unique-destination first-reference predictions)
     for i in range(3):
         misc[23 + i] = nmc0[i]
+    # misc[14]/[15]: scaled-reference mcs chunk counts (tier "scaled")
+    if len(nmc) > 3:
+        misc[14] = nmc[3]
+        misc[15] = nmc0[3]
     return buf

@@ -10,9 +10,9 @@ NumPy oracle but runs the reconstruction stages as jitted JAX computations
   3. wavefront-batched intra prediction + residual add (PASS 4)
   4. loop filter                                       (PASS 5)
 
-Frames that use features outside the current device fast path (high bit
-depth, scaled references) fall back to the NumPy oracle — identical output,
-host speed.
+Frames that use features outside the current device fast path
+(4:2:2/4:4:4 subsampling, out-of-spec scale ratios, cap overflow) fall
+back to the NumPy oracle — identical output, host speed.
 """
 
 from __future__ import annotations
@@ -143,10 +143,12 @@ class TpuReconFused:
     host->device link has a large fixed per-transfer cost, so upload
     batching (not bytes) dominates throughput on tunneled links.  Output
     planes are returned lazily (LazyPlanes) and fetched in one batched
-    D2H per ring flush, sliced to the pending rows.  Frames outside the
-    fast path (bd>8, scaled refs, 4:2:2/4:4:4, tight-cap overflow) run
-    on the host oracle, bit-exact, and the affected device pool slots
-    re-sync lazily before their next device use."""
+    D2H per ring flush, sliced to the pending rows.  8/10/12-bit and
+    scaled-reference (mid-stream resize / SVC) frames all run on device;
+    frames outside the fast path (4:2:2/4:4:4, wide-cap overflow,
+    out-of-spec scale ratios) run on the host oracle, bit-exact, and the
+    affected device pool slots re-sync lazily before their next device
+    use."""
 
     RING = 32
     BATCH = 16   # frames per dispatch batch (one ring fetch per batch:
@@ -274,29 +276,69 @@ class TpuReconFused:
             return False
         if hdr.subsampling_x != 1 or hdr.subsampling_y != 1:
             return False
+        if not hdr.frame_is_intra_only and self._any_scaled(plan, refs):
+            # scaled references decode on device via the "mcs" tile
+            # class; refs outside the spec's scale range (2x down /
+            # 16x up, vp9_scale.c valid_ref_frame_size) stay on the
+            # host oracle
+            from ..ops.ref.inter import ScaleFactors
+            for rb in refs.values():
+                if rb is None:
+                    continue
+                if not ScaleFactors(rb.width, rb.height, hdr.width,
+                                    hdr.height).is_valid():
+                    return False
+        return True
+
+    @staticmethod
+    def _any_scaled(plan, refs) -> bool:
+        hdr = plan.hdr
+        return any(rb is not None
+                   and (rb.width != hdr.width or rb.height != hdr.height)
+                   for rb in refs.values())
+
+    def _pool_geom_for(self, plan, refs):
+        """Reference-pool canvas: the frame plus any larger reference
+        (scaled prediction reads refs bigger than the frame)."""
+        hdr = plan.hdr
+
+        def align(mi):
+            return ((mi + 7) & ~7) * 8
+
+        pha = align(hdr.mi_rows)
+        pwa = align(hdr.mi_cols)
         if not hdr.frame_is_intra_only:
             for rb in refs.values():
                 if rb is None:
                     continue
-                if rb.width != hdr.width or rb.height != hdr.height:
-                    return False  # scaled references: oracle path
-        return True
+                pha = max(pha, align((rb.height + 7) // 8))
+                pwa = max(pwa, align((rb.width + 7) // 8))
+        return pha, pwa
 
-    def _ensure_pool(self, plan):
+    def _ensure_pool(self, plan, refs):
+        """(Re)allocate the device pool/ring; returns the pool canvas
+        (pha, pwa) >= the frame canvas.  The pool keeps its running-max
+        geometry across mid-stream resizes (re-allocating per frame
+        would thrash compile caches and re-sync every slot); keyframes
+        refresh every slot, so they may shrink it."""
         jnp = self.jnp
         hdr = plan.hdr
-        wa = ((hdr.mi_cols + 7) & ~7) * 8
-        ha = ((hdr.mi_rows + 7) & ~7) * 8
-        geom = (ha, wa, hdr.bit_depth)
-        if self._pool is None or self._pool_geom != geom:
-            self.flush()
-            nout = ha * wa + 2 * ((ha >> 1) * (wa >> 1))
-            odt = jnp.uint8 if hdr.bit_depth == 8 else jnp.int16
-            self._pool = jnp.zeros((8, 3, ha, wa), jnp.int32)
-            self._ring = jnp.zeros((self.RING, nout), odt)
-            self._pool_geom = geom
-            self._slot_dirty = [True] * 8
-        return ha, wa
+        need = self._pool_geom_for(plan, refs)
+        bd = hdr.bit_depth
+        cur = self._pool_geom
+        if cur is not None and cur[2] == bd \
+                and need[0] <= cur[0] and need[1] <= cur[1]:
+            if not (hdr.frame_type == C.KEY_FRAME and need != cur[:2]):
+                return cur[0], cur[1]
+        self.flush()
+        pha, pwa = need
+        nout = pha * pwa + 2 * ((pha >> 1) * (pwa >> 1))
+        odt = jnp.uint8 if bd == 8 else jnp.int16
+        self._pool = jnp.zeros((8, 3, pha, pwa), jnp.int32)
+        self._ring = jnp.zeros((self.RING, nout), odt)
+        self._pool_geom = (pha, pwa, bd)
+        self._slot_dirty = [True] * 8
+        return pha, pwa
 
     def _sync_slot(self, i, rb):
         """Queue a host RefBuffer push into device pool slot i (ordered
@@ -367,12 +409,18 @@ class TpuReconFused:
     def _recon_device(self, plan, refs):
         jnp = self.jnp
         hdr = plan.hdr
-        tier = "full" if hdr.frame_is_intra_only else "tight"
+        scaled = not hdr.frame_is_intra_only \
+            and self._any_scaled(plan, refs)
+        tier = "full" if hdr.frame_is_intra_only else (
+            "scaled" if scaled else "tight")
         bd = hdr.bit_depth
+        pool_geom = self._ensure_pool(plan, refs)
+        ha = ((hdr.mi_rows + 7) & ~7) * 8
+        wa = ((hdr.mi_cols + 7) & ~7) * 8
         step, caps, layout = self.fused.get_frame_step(
-            hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless), bd=bd)
+            hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless), bd=bd,
+            pool_geom=pool_geom)
 
-        ha, wa = self._ensure_pool(plan)
         if self._ring_slot >= self.RING:
             # ring wrap: dispatch queued steps (their output rows are
             # snapshotted on device before any later step overwrites
@@ -387,12 +435,19 @@ class TpuReconFused:
         _tp0 = _time.time()
         nparser = getattr(plan, "native_parser", None)
 
+        frame_geom = (ha, wa)
+
         def pack_with(caps, layout):
-            if nparser is not None:
+            if nparser is not None and tier != "scaled" \
+                    and pool_geom == frame_geom:
                 # single-pass C++ packer on the parser's live state
+                # (scaled frames and enlarged pools take the Python
+                # packer: the C++ mirror predates the mcs class and
+                # pool-decoupled band geometry)
                 return nparser.pack(plan, refs, caps, layout,
                                     ring_slot=slot)
-            f = self.pack.pack_frame(plan, refs, caps, layout)
+            f = self.pack.pack_frame(plan, refs, caps, layout,
+                                     pool_ha=pool_geom[0])
             if f is not None:
                 layout.view(f, "misc")[13] = slot
             return f
@@ -403,7 +458,8 @@ class TpuReconFused:
             # (the host oracle is ~100x slower than a wide-step dispatch)
             tier = "wide"
             step, caps, layout = self.fused.get_frame_step(
-                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless), bd=bd)
+                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless), bd=bd,
+                pool_geom=pool_geom)
             flat = pack_with(caps, layout)
         self._tw["pack"] += _time.time() - _tp0
         if flat is None:
@@ -421,7 +477,7 @@ class TpuReconFused:
         if comb is not None:
             step, _, _ = self.fused.get_frame_step(
                 hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless),
-                bd=bd, pages_tier=ptier)
+                bd=bd, pages_tier=ptier, pool_geom=pool_geom)
             payload = comb
         else:
             payload = flat

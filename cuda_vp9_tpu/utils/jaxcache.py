@@ -6,9 +6,31 @@ on disk makes every process after the first start instantly.  Called by
 the device recon backends before their first jit compilation.
 """
 
+import hashlib
 import os
 
 _done = False
+
+
+def _host_key() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU AOT executables embed the compile machine's features; a
+    cache entry written on one host can SIGILL/SIGSEGV when
+    deserialized on a host with a different feature set (observed:
+    cpu_aot_loader.cc 'machine type ... doesn't match' followed by a
+    segfault inside deserialize_executable).  Scoping the cache dir by
+    host flags makes a host change a cache miss instead of a crash.
+    TPU executables are host-independent but cheap to recompile."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
 
 
 def enable_persistent_cache():
@@ -22,6 +44,7 @@ def enable_persistent_cache():
             os.path.dirname(os.path.abspath(__file__))))
         d = os.environ.get("CUDA_VP9_TPU_JAX_CACHE",
                            os.path.join(repo, ".jax_cache"))
+        d = os.path.join(d, _host_key())
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
