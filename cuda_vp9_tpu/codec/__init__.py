@@ -45,12 +45,28 @@ VPX_IMG_FMT_I42016 = 0x102 | 0x800  # VPX_IMG_FMT_HIGHBITDEPTH
 
 # ----------------------------------------------------------------- controls
 
-VP8D_GET_FRAME_CORRUPTED = 4
-VP9D_GET_DISPLAY_SIZE = 7
-VP9D_GET_BIT_DEPTH = 8
-VP9D_GET_FRAME_SIZE = 9
-VP9D_SET_ROW_MT = 14
-VP9D_SET_LOOP_FILTER_OPT = 16
+# vp8dx.h enum vp8_dec_control_id (VP8_DECODER_CTRL_ID_START = 256)
+VP8D_GET_LAST_REF_UPDATES = 256
+VP8D_GET_FRAME_CORRUPTED = 257
+VP8D_GET_LAST_REF_USED = 258
+VPXD_GET_LAST_QUANTIZER = 259
+VPXD_SET_DECRYPTOR = 260
+VP9D_GET_DISPLAY_SIZE = 261
+VP9D_GET_BIT_DEPTH = 262
+VP9D_GET_FRAME_SIZE = 263
+VP9_INVERT_TILE_DECODE_ORDER = 264
+VP9_SET_BYTE_ALIGNMENT = 265
+VP9_SET_SKIP_LOOP_FILTER = 266
+VP9_DECODE_SVC_SPATIAL_LAYER = 267
+VP9D_GET_FRAME_HEADER_INFO = 268
+VP9D_SET_ROW_MT = 269
+VP9D_GET_TILE_DATA = 270
+VP9D_SET_LOOP_FILTER_OPT = 271
+
+
+# init-time flags (vpx/vpx_decoder.h:73-80)
+VPX_CODEC_USE_POSTPROC = 0x10000
+VPX_CODEC_USE_ERROR_CONCEALMENT = 0x20000
 
 
 class CodecError(Exception):
@@ -127,15 +143,20 @@ class _Vp9DecoderIface:
 
 
 class _Vp8DecoderIface:
-    """vpx_codec_vp8_dx_algo parity (vp8/vp8_dx_iface.c:731).
-
-    Keyframe decode slice; inter frames raise (pending)."""
+    """vpx_codec_vp8_dx_algo parity (vp8/vp8_dx_iface.c:731): key and
+    inter frames, bit-exact vs the normative vp8 decoder."""
 
     name = "cuda-vp9-tpu VP8 Decoder"
 
     def make_decoder(self, cfg: DecCfg, use_device: bool):
         from ..vp8 import Vp8StreamDecoder
         return Vp8StreamDecoder(), None
+
+    def make_decoder_ec(self, cfg: DecCfg):
+        """VPX_CODEC_USE_ERROR_CONCEALMENT init flag (the reference is
+        built --enable-error-concealment; vp8/decoder/onyxd_if.c:97)."""
+        from ..vp8 import Vp8StreamDecoder
+        return Vp8StreamDecoder(ec_enabled=True), None
 
 
 _VP9_IFACE = _Vp9DecoderIface()
@@ -168,6 +189,8 @@ class CodecCtx:
         self._fb_get = None
         self._fb_release = None
         self._fb_priv = None
+        self._decrypt = None       # VPXD_SET_DECRYPTOR (cb, state)
+        self._svc_layer = -1       # VP9_DECODE_SVC_SPATIAL_LAYER
         self._ext_fbs = []
 
 
@@ -188,7 +211,16 @@ def vpx_codec_dec_init(ctx: CodecCtx, iface, cfg: Optional[DecCfg] = None,
     ctx.name = iface.name
     use_device = True
     try:
-        ctx._dec, ctx._recon = iface.make_decoder(cfg, use_device)
+        if flags & VPX_CODEC_USE_ERROR_CONCEALMENT:
+            # vp8 only (the reference's vp9 iface has no EC either:
+            # vp9_dx_iface.c caps lack VPX_CODEC_CAP_ERROR_CONCEALMENT)
+            if not hasattr(iface, "make_decoder_ec"):
+                ctx.err = VPX_CODEC_INCAPABLE
+                ctx.err_detail = "error concealment not supported"
+                return ctx.err
+            ctx._dec, ctx._recon = iface.make_decoder_ec(cfg)
+        else:
+            ctx._dec, ctx._recon = iface.make_decoder(cfg, use_device)
     except Exception as e:  # pragma: no cover
         ctx.err = VPX_CODEC_MEM_ERROR
         ctx.err_detail = str(e)
@@ -207,14 +239,29 @@ def vpx_codec_decode(ctx: CodecCtx, data: Optional[bytes],
         return VPX_CODEC_INVALID_PARAM
     if data is None:
         return VPX_CODEC_OK
+    if ctx._decrypt is not None:
+        # VPXD_SET_DECRYPTOR: (cb, state); the reference decrypts
+        # buffers on demand during parse, we decrypt the whole payload
+        cb, state = ctx._decrypt
+        data = bytes(cb(state, data))
     try:
-        ctx._dec.decode(data)
+        if ctx._svc_layer >= 0:
+            # VP9_DECODE_SVC_SPATIAL_LAYER: decode only the first
+            # layer+1 frames of each superframe (vp9_dx_iface.c:358)
+            from ..decoder.bitreader import parse_superframe_index
+            spans = parse_superframe_index(data)
+            for off, sz in spans[:ctx._svc_layer + 1]:
+                ctx._dec.decode(data[off:off + sz])
+        else:
+            ctx._dec.decode(data)
     except Exception as e:
         ctx.err = VPX_CODEC_CORRUPT_FRAME
         ctx.err_detail = str(e)
         ctx._corrupted = 1
         return ctx.err
-    ctx._corrupted = 0
+    # under error concealment a decode can succeed yet conceal: the
+    # corrupt flag is still reported (VP8D_GET_FRAME_CORRUPTED)
+    ctx._corrupted = 1 if getattr(ctx._dec, "frame_corrupt", False) else 0
     for f in ctx._dec.frames():
         ctx._frames.append((f, user_priv))
     return VPX_CODEC_OK
@@ -383,15 +430,54 @@ def vpx_codec_get_stream_info(ctx: CodecCtx, si: StreamInfo) -> int:
 
 
 def vpx_codec_control(ctx: CodecCtx, ctrl_id: int, *args):
-    """vpx_codec_control_ parity for the decoder-control subset."""
+    """vpx_codec_control_ parity for the decoder-control set
+    (vpx/vp8dx.h:63-201)."""
     if ctx is None:
         return VPX_CODEC_INVALID_PARAM
     if ctrl_id == VP8D_GET_FRAME_CORRUPTED:
         return ctx._corrupted
+    if ctrl_id == VPXD_GET_LAST_QUANTIZER:
+        return int(getattr(ctx._dec, "last_qindex", 0))
+    if ctrl_id == VP8D_GET_LAST_REF_UPDATES:
+        return int(getattr(ctx._dec, "last_ref_updates", 0))
+    if ctrl_id == VP8D_GET_LAST_REF_USED:
+        return int(getattr(ctx._dec, "last_ref_used", 0))
     if ctrl_id == VP9D_GET_BIT_DEPTH:
         return ctx._last.bit_depth if ctx._last else 8
     if ctrl_id in (VP9D_GET_DISPLAY_SIZE, VP9D_GET_FRAME_SIZE):
         return (ctx._last.d_w, ctx._last.d_h) if ctx._last else (0, 0)
+    if ctrl_id == VP9_SET_SKIP_LOOP_FILTER:
+        if hasattr(ctx._dec, "skip_loop_filter"):
+            ctx._dec.skip_loop_filter = bool(args[0]) if args else True
+            return VPX_CODEC_OK
+        return VPX_CODEC_INCAPABLE
+    if ctrl_id == VP9_SET_BYTE_ALIGNMENT:
+        # legal values: 0 (default) or powers of two in [32, 1024]
+        v = args[0] if args else 0
+        if v != 0 and (v < 32 or v > 1024 or (v & (v - 1))):
+            return VPX_CODEC_INVALID_PARAM
+        return VPX_CODEC_OK  # numpy planes are always contiguous
+    if ctrl_id == VP9_INVERT_TILE_DECODE_ORDER:
+        # tiles are independent entropy streams; parse order cannot
+        # change output (the control exists to test that invariant)
+        return VPX_CODEC_OK
+    if ctrl_id == VPXD_SET_DECRYPTOR:
+        if not args or args[0] is None:
+            ctx._decrypt = None
+        else:
+            cb = args[0]
+            state = args[1] if len(args) > 1 else None
+            ctx._decrypt = (cb, state)
+        return VPX_CODEC_OK
+    if ctrl_id == VP9_DECODE_SVC_SPATIAL_LAYER:
+        layer = args[0] if args else -1
+        if layer < 0:
+            return VPX_CODEC_INVALID_PARAM
+        ctx._svc_layer = layer
+        return VPX_CODEC_OK
+    if ctrl_id == VP9D_GET_FRAME_HEADER_INFO:
+        # (uncompressed, compressed) header byte sizes of the last frame
+        return getattr(ctx._dec, "last_header_sizes", (0, 0))
     if ctrl_id in (VP9D_SET_ROW_MT, VP9D_SET_LOOP_FILTER_OPT):
         return VPX_CODEC_OK  # scheduling hints: device path decides
     return VPX_CODEC_INCAPABLE

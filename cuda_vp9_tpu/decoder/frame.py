@@ -100,6 +100,9 @@ class Vp9Decoder:
         # starts 1, cleared by a key/intra-only frame, set by any decode
         # error; inter frames are refused while set)
         self.need_resync = 1
+        self.last_qindex = 0
+        self.last_ref_updates = 0
+        self.skip_loop_filter = False
 
     # --------------------------------------------------------- hooks
 
@@ -208,6 +211,9 @@ class Vp9Decoder:
         if plan.corrupted:
             raise BitstreamError("frame data corrupted")
 
+        if self.skip_loop_filter:
+            hdr.lf.filter_level = 0  # VP9_SET_SKIP_LOOP_FILTER
+
         refs = {}
         if not hdr.frame_is_intra_only:
             for i in range(C.REFS_PER_FRAME):
@@ -252,6 +258,12 @@ class Vp9Decoder:
         self.last_intra_only = hdr.intra_only
         self.last_width = hdr.width
         self.last_height = hdr.height
+        # decoder-control observability (VPXD_GET_LAST_QUANTIZER,
+        # VP8D_GET_LAST_REF_UPDATES, VP9D_GET_FRAME_HEADER_INFO)
+        self.last_qindex = hdr.base_qindex
+        self.last_ref_updates = hdr.refresh_frame_flags
+        self.last_header_sizes = (hdr.uncompressed_header_size_in_bytes,
+                                  hdr.header_size_in_bytes)
 
         if hdr.show_frame:
             self._outputs.append(DecodedFrame(
@@ -288,6 +300,25 @@ class NativeVp9Decoder:
         self._recon_fn = recon_fn or (
             lambda plan, refs: ref_recon.reconstruct_frame(plan, refs))
         self.need_resync = 1  # see Vp9Decoder.need_resync
+        self.last_qindex = 0
+        self.last_ref_updates = 0
+        self.skip_loop_filter = False
+        self._last_payload = None
+
+    @property
+    def last_header_sizes(self):
+        """(uncompressed, compressed) header byte sizes of the last
+        frame (VP9D_GET_FRAME_HEADER_INFO) — parsed lazily; the native
+        parser does not export offsets."""
+        if not self._last_payload:
+            return (0, 0)
+        from .headers import parse_uncompressed_header
+        hdr = parse_uncompressed_header(
+            self._last_payload, ref_sizes=lambda i: (
+                (self.ref_slots[i].width, self.ref_slots[i].height)
+                if self.ref_slots[i] else (0, 0)))
+        return (hdr.uncompressed_header_size_in_bytes,
+                hdr.header_size_in_bytes)
 
     def decode(self, data: bytes):
         try:
@@ -311,6 +342,7 @@ class NativeVp9Decoder:
             raise BitstreamError(
                 "keyframe / intra-only frame required to reset decoder "
                 "state (resync)")
+        self._last_payload = payload
         plan = self._parser.parse(payload)
         if isinstance(plan, self._ShowExisting):
             rb = self.ref_slots[plan.frame_to_show]
@@ -323,6 +355,10 @@ class NativeVp9Decoder:
         hdr = plan.hdr
         if hdr.frame_is_intra_only:
             self.need_resync = 0
+        self.last_qindex = hdr.base_qindex
+        self.last_ref_updates = hdr.refresh_frame_flags
+        if self.skip_loop_filter:
+            hdr.lf.filter_level = 0  # VP9_SET_SKIP_LOOP_FILTER
         refs = {}
         if not hdr.frame_is_intra_only:
             for i in range(C.REFS_PER_FRAME):

@@ -14,9 +14,13 @@ class Vp8StreamDecoder:
     """Stream-level VP8 decoder with the same decode()/frames() surface
     as NativeVp9Decoder (so the codec API and vpxdec work unchanged)."""
 
-    def __init__(self, recon_fn=None):
-        self._dec = Vp8Decoder()
+    def __init__(self, recon_fn=None, ec_enabled: bool = False):
+        self._dec = Vp8Decoder(ec_enabled=ec_enabled)
         self._out = []
+
+    @property
+    def frame_corrupt(self) -> bool:
+        return self._dec.frame_corrupt
 
     def decode(self, data: bytes) -> None:
         from ..decoder.frame import DecodedFrame

@@ -269,7 +269,13 @@ class Vp8Decoder:
     entropy contexts, segmentation and loop-filter delta state
     (vp8/decoder/onyxd_if.c + decodeframe.c)."""
 
-    def __init__(self):
+    def __init__(self, ec_enabled: bool = False):
+        # --enable-error-concealment parity (vp8/decoder/onyxd_if.c:97:
+        # ec_enabled from oxcf->error_concealment; active only once a
+        # keyframe has been decoded)
+        self.ec_enabled = bool(ec_enabled)
+        self.frame_corrupt = False
+        self._prev_mi = None
         self._reset_all()
 
     def _reset_all(self):
@@ -342,8 +348,17 @@ class Vp8Decoder:
         elif not self.decoded_key_frame:
             raise Vp8Error("stream must start with a keyframe")
 
+        # vp8_error-concealment activation (decodeframe.c:863)
+        ec_active = self.ec_enabled and self.decoded_key_frame
+        self.frame_corrupt = False
+
         if pos + first_part_size > len(data):
-            raise Vp8Error("first partition overruns frame")
+            # decodeframe.c:927: only a hard error without EC; with EC
+            # the bool decoder zero-fills past the real data
+            if not ec_active:
+                raise Vp8Error("first partition overruns frame")
+            self.frame_corrupt = True
+            first_part_size = len(data) - pos
         bc = BoolDecoder(data, pos, first_part_size, marker=False)
 
         if hdr.frame_type == 0:
@@ -370,18 +385,29 @@ class Vp8Decoder:
         part_base = pos + first_part_size
         sizes_len = 3 * (n_parts - 1)
         if part_base + sizes_len > len(data):
-            raise Vp8Error("partition size table overruns frame")
+            if not ec_active:
+                raise Vp8Error("partition size table overruns frame")
+            # setup_token_decoder EC path: clamp and conceal
+            self.frame_corrupt = True
+            sizes_len = max(0, len(data) - part_base)
         parts = []
         off = part_base + sizes_len
         for i in range(n_parts):
             if i < n_parts - 1:
                 o = part_base + 3 * i
-                sz = data[o] | (data[o + 1] << 8) | (data[o + 2] << 16)
+                if o + 3 <= len(data):
+                    sz = data[o] | (data[o + 1] << 8) | (data[o + 2] << 16)
+                else:
+                    sz = 0
             else:
                 sz = len(data) - off
             if off + sz > len(data) or sz < 0:
-                raise Vp8Error("token partition overruns frame")
-            parts.append(BoolDecoder(data, off, sz, marker=False))
+                if not ec_active:
+                    raise Vp8Error("token partition overruns frame")
+                self.frame_corrupt = True
+                sz = max(0, len(data) - off)
+            parts.append(BoolDecoder(data, min(off, len(data)), sz,
+                                     marker=False))
             off += sz
 
         hdr.base_qindex = bc.read_literal(7)
@@ -401,7 +427,7 @@ class Vp8Decoder:
 
         hdr.refresh_entropy = bc.read_bit()
         saved_entropy = None
-        if hdr.refresh_entropy == 0:
+        if hdr.refresh_entropy == 0 or ec_active:
             saved_entropy = (copy.deepcopy(self.coef_probs),
                              list(self.ymode_prob), list(self.uv_mode_prob),
                              copy.deepcopy(self.mvc))
@@ -437,9 +463,12 @@ class Vp8Decoder:
                         x = bc.read_literal(7)
                         p[i] = (x << 1) if x else 1
 
+        self._ec_active = ec_active
         result = self._decode_frame_body(data, hdr, bc, parts)
 
-        if hdr.refresh_entropy == 0:
+        if hdr.refresh_entropy == 0 or (ec_active and self.frame_corrupt):
+            # decodeframe.c:1156: a corrupt frame never refreshes the
+            # persistent entropy contexts
             (self.coef_probs, self.ymode_prob, self.uv_mode_prob,
              self.mvc) = saved_entropy
         if hdr.frame_type == 0:
@@ -715,6 +744,15 @@ class Vp8Decoder:
 
         self._mvs_tmp = None
         mi = self._parse_modes_mvs_entry(hdr, bc)
+        ec = getattr(self, "_ec_active", False)
+        if ec and self._mvs_corrupt_from is not None:
+            # mode/MV partition lost from some MB on: estimate the tail
+            # of the MV field from the previous frame's projected MVs
+            # (vp8_estimate_missing_mvs, onyxd_if.c:353)
+            from .concealment import estimate_missing_mvs
+            estimate_missing_mvs(mi, self._prev_mi, mr, mc,
+                                 self._mvs_corrupt_from)
+            self.frame_corrupt = True
         # per-MB reference-frame ids for loop-filter ref deltas
         self._lf_refs = mi["ref_frame"][1:mr + 1, 1:mc + 1]
 
@@ -777,6 +815,26 @@ class Vp8Decoder:
                         # decode_macroblock: force the loop filter (and
                         # residual application) to skip
                         skip = True
+                if ec and part.has_error():
+                    # corrupt residual data: conceal (decodeframe.c:539).
+                    # Inter MBs keep their parsed MVs with zero residual;
+                    # intra MBs can't be predicted from corrupt neighbor
+                    # pixels, so their motion is interpolated from the
+                    # surrounding blocks (vp8_interpolate_motion)
+                    self.frame_corrupt = True
+                    coeffs[:] = 0
+                    eobs[:] = 0
+                    skip = True
+                    if is_intra:
+                        from .concealment import interpolate_motion
+                        interpolate_motion(mi, r, c, mr, mc)
+                        ym = SPLITMV
+                        is_intra = False
+                        has_y2 = False
+                    a[:8] = 0
+                    l[:8] = 0
+                    if has_y2:
+                        a[8] = l[8] = 0
                 mb_mode[r, c] = ym
                 mb_skip_lf[r, c] = has_y2 and skip
                 seg = int(self.seg_map[r, c])
@@ -798,9 +856,31 @@ class Vp8Decoder:
             V[c0:c1, BC + W16 // 2:] = V[c0:c1,
                                          BC + W16 // 2 - 1:BC + W16 // 2]
 
+        if not ec and (bc.has_error()
+                       or any(p.has_error() for p in parts)):
+            # decodeframe.c:1206: bool-decoder overrun detected at frame
+            # end is a hard error without error concealment
+            raise Vp8Error("corrupt frame data (bool decoder overrun)")
+
         self._loop_filter(Y, U, V, hdr, mb_mode, mb_skip_lf, W16, H16)
         self._extend_borders(Y, U, V, W16, H16)
+        if ec and self.frame_corrupt:
+            # decodeframe.c:1112-1167: a concealed frame must never
+            # update golden/altref and always refreshes LAST
+            hdr.refresh_golden = 0
+            hdr.refresh_alt = 0
+            hdr.copy_to_gf = 0
+            hdr.copy_to_arf = 0
+            hdr.refresh_last = 1
         self._update_refs(hdr, (Y, U, V))
+        if self.ec_enabled:
+            # previous-frame MV field for estimate_missing_mvs
+            mask = mi["mode"][1:mr + 1, 1:mc + 1] == SPLITMV
+            bmv_all = np.where(mask[:, :, None, None], mi["bmvs"],
+                               mi["mvs"][1:mr + 1, 1:mc + 1][:, :, None, :])
+            self._prev_mi = {
+                "bmv": bmv_all.astype(np.int64),
+                "ref": mi["ref_frame"][1:mr + 1, 1:mc + 1].copy()}
 
         y = Y[BY:BY + hdr.height, BY:BY + hdr.width].copy()
         u = U[BC:BC + (hdr.height + 1) // 2,
@@ -830,6 +910,11 @@ class Vp8Decoder:
         self._mvs_tmp = mvs
 
         is_kf = hdr.frame_type == 0
+        # EC: raster index of the first MB whose mode info came (even
+        # partially) from past the end of partition 0
+        # (pbi->mvs_corrupt_from_mb)
+        self._mvs_corrupt_from = None
+        ec = getattr(self, "_ec_active", False)
         for r in range(mr):
             left_sub = np.zeros(4, np.int32)
             for c in range(mc):
@@ -850,6 +935,9 @@ class Vp8Decoder:
                     self._read_mb_modes_mv(
                         hdr, bc, r, c, ref_frame, mode, mvs, bmvs,
                         bmodes, uvmodes, part, clamp)
+                if ec and self._mvs_corrupt_from is None \
+                        and bc.has_error():
+                    self._mvs_corrupt_from = r * mc + c
         return dict(ref_frame=ref_frame, mode=mode, mvs=mvs, bmvs=bmvs,
                     bmodes=bmodes, uvmodes=uvmodes, skips=skips,
                     part=part, clamp=clamp)

@@ -69,6 +69,63 @@ def test_decode_corrupt_reports_error():
     assert vpx_codec_control(ctx, VP8D_GET_FRAME_CORRUPTED) == 1
 
 
+def test_decoder_controls():
+    """vp8dx.h control-id surface: last quantizer / ref updates, frame
+    header info, skip-loop-filter, byte alignment, decryptor."""
+    from cuda_vp9_tpu.codec import (
+        VPXD_GET_LAST_QUANTIZER, VP8D_GET_LAST_REF_UPDATES,
+        VP9D_GET_FRAME_HEADER_INFO, VP9_SET_BYTE_ALIGNMENT,
+        VP9_SET_SKIP_LOOP_FILTER, VPXD_SET_DECRYPTOR,
+        VPX_CODEC_INVALID_PARAM)
+    name, ivf, md5 = FIX["in01_176x144"]
+    golden = [line.split()[0] for line in md5.read_text().splitlines()]
+    ctx = CodecCtx()
+    vpx_codec_dec_init(ctx, _host_iface(), DecCfg())
+    # byte alignment validation (legal: 0 or pow2 in [32, 1024])
+    assert vpx_codec_control(ctx, VP9_SET_BYTE_ALIGNMENT, 64) \
+        == VPX_CODEC_OK
+    assert vpx_codec_control(ctx, VP9_SET_BYTE_ALIGNMENT, 48) \
+        == VPX_CODEC_INVALID_PARAM
+    # identity "decryptor" must not change the decode
+    assert vpx_codec_control(ctx, VPXD_SET_DECRYPTOR,
+                             lambda state, buf: buf, None) == VPX_CODEC_OK
+    n = 0
+    with IvfReader(str(ivf)) as r:
+        for data, _ in r:
+            assert vpx_codec_decode(ctx, data) == VPX_CODEC_OK
+            it = FrameIter()
+            while (img := vpx_codec_get_frame(ctx, it)) is not None:
+                m = hashlib.md5()
+                for p in img.planes:
+                    m.update(p.tobytes())
+                assert m.hexdigest() == golden[n]
+                n += 1
+    assert n == len(golden)
+    assert vpx_codec_control(ctx, VPXD_GET_LAST_QUANTIZER) > 0
+    assert vpx_codec_control(ctx, VP8D_GET_LAST_REF_UPDATES) >= 0
+    unc, comp = vpx_codec_control(ctx, VP9D_GET_FRAME_HEADER_INFO)
+    assert unc > 0 and comp > 0
+    vpx_codec_destroy(ctx)
+
+    # VP9_SET_SKIP_LOOP_FILTER changes output on a filtered stream
+    ctx2 = CodecCtx()
+    vpx_codec_dec_init(ctx2, _host_iface(), DecCfg())
+    assert vpx_codec_control(ctx2, VP9_SET_SKIP_LOOP_FILTER, 1) \
+        == VPX_CODEC_OK
+    got = []
+    with IvfReader(str(ivf)) as r:
+        for data, _ in r:
+            vpx_codec_decode(ctx2, data)
+            it = FrameIter()
+            while (img := vpx_codec_get_frame(ctx2, it)) is not None:
+                m = hashlib.md5()
+                for p in img.planes:
+                    m.update(p.tobytes())
+                got.append(m.hexdigest())
+    assert len(got) == len(golden) and got != golden
+    vpx_codec_destroy(ctx2)
+
+
 def test_external_frame_buffers():
     """vpx_codec_set_frame_buffer_functions parity: decoded frames land
     in user-provided buffers (vpx/vpx_frame_buffer.h; exercised by the
