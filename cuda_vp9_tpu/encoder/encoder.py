@@ -1,19 +1,30 @@
-"""VP9 encoder: intra-only (keyframe) fixed-QP bitstream writer.
+"""VP9 encoder: fixed-QP bitstream writer (keyframes + ZEROMV inter).
 
-First slice of the reference's vp9/encoder/ (SURVEY S19 — vp9_encoder.c,
+Slice of the reference's vp9/encoder/ (SURVEY S19 — vp9_encoder.c,
 vp9_bitstream.c `write_uncompressed_header`/`write_compressed_header`/
 `pack_mb_tokens`, vp9_cx_iface.c).  TPU-framework counterpart design:
 
-- every frame is a keyframe with error_resilient_mode=1, so no backward
-  adaptation and no frame-context bookkeeping is needed;
+- keyframes (and every frame when gop <= 1) are intra-only with
+  error_resilient_mode=1, so no backward adaptation and no
+  frame-context bookkeeping is needed;
+- with gop > 1, non-key frames are single-reference (LAST) inter
+  frames: per block either a ZEROMV prediction from the previous
+  reconstructed frame (skip when the residual quantizes away) or an
+  intra fallback, chosen by SAD — the static-content case the
+  reference's rate control exploits hardest, at a fraction of the
+  bitrate of all-intra;
 - a fixed partition grid (default 16x16 blocks, forced splits at frame
   edges) with per-block intra mode search over DC/V/H/TM by SAD;
 - forward transforms derived from the repo's own normative inverse
   (encoder/transforms.py), quantization against the normative dequant
   tables, tokens written by the decode-tree mirror (encoder/tokenize.py);
-- the in-loop reconstruction mirrors `ops/ref/recon._recon_intra_block`
-  exactly, so prediction feedback matches any conformant decoder,
-  bit-for-bit;
+- the in-loop reconstruction mirrors `ops/ref/recon` exactly (intra
+  edges AND the full-pel edge-clamped ZEROMV prediction), so prediction
+  feedback matches any conformant decoder, bit-for-bit;
+- inter-frame symbol contexts (mode context, ref context, partition
+  context) come from the DECODER'S own machinery
+  (decoder.tiles.FrameParseState + decodemv/mvref helpers), so the
+  writer cannot drift from the parse side;
 - loop filter level is 0 (valid; the decoder then skips filtering).
 
 The produced stream is validated two ways in tests/test_encoder.py: this
@@ -30,6 +41,7 @@ from ..decoder import constants as C
 from .bitwriter import BitWriter, BoolEncoder, tree_paths
 from . import tokenize
 from .transforms import fwd_txfm2d, fwd_wht2d
+from ..ops.ref import inter as inter_ops
 from ..ops.ref import intra
 from ..ops.ref import transforms as inv
 
@@ -39,6 +51,7 @@ _INTRA_MODE_TO_TX_TYPE = [C.DCT_DCT, C.ADST_DCT, C.DCT_ADST, C.DCT_DCT,
 
 _PARTITION_PATHS = tree_paths(M.PARTITION_TREE)
 _INTRA_MODE_PATHS = tree_paths(M.INTRA_MODE_TREE)
+_INTER_MODE_PATHS = tree_paths(M.INTER_MODE_TREE)
 
 # default intra mode search candidates (cheap, directional spread)
 _MODE_CANDIDATES = (C.DC_PRED, C.V_PRED, C.H_PRED, C.TM_PRED)
@@ -53,7 +66,9 @@ class Vp9Encoder:
 
     def __init__(self, width: int, height: int, base_qindex: int = 60,
                  bit_depth: int = 8, block_size: int = C.BLOCK_16X16,
-                 lossless: bool = False, mode_search: bool = True):
+                 lossless: bool = False, mode_search: bool = True,
+                 gop: int = 1, target_bitrate_kbps: int = 0,
+                 fps: float = 30.0):
         if not (0 < width < 65536 and 0 < height < 65536):
             raise ValueError("bad frame size")
         self.width = width
@@ -64,6 +79,15 @@ class Vp9Encoder:
         self.base_qindex = 0 if lossless else max(1, min(255, base_qindex))
         self.block_size = block_size
         self.mode_search = mode_search
+        # gop <= 1: every frame a keyframe.  Lossless inter coding is
+        # not implemented (tx_mode layout differs); force all-key.
+        self.gop = 1 if lossless else max(1, gop)
+        self.frame_idx = 0
+        self._ref_recon = None   # previous frame's reconstruction
+        # per-stream inter mode decisions (observability; the reference
+        # tracks the same in cpi->mode_chosen_counts)
+        self.mode_counts = {C.ZEROMV: 0, C.NEARESTMV: 0, C.NEARMV: 0,
+                            C.NEWMV: 0, "intra": 0}
 
         self.mi_cols = (width + 7) >> C.MI_SIZE_LOG2
         self.mi_rows = (height + 7) >> C.MI_SIZE_LOG2
@@ -81,11 +105,15 @@ class Vp9Encoder:
             max_log2 += 1
         self.max_log2_tile_cols = max_log2 - 1
 
-        # dequant values (normative tables; y only deltas = 0)
-        dcq, acq = M.DC_QLOOKUP[bit_depth], M.AC_QLOOKUP[bit_depth]
-        q = self.base_qindex
-        self.dq_y = (int(dcq[q]), int(acq[q]))
-        self.dq_uv = (int(dcq[q]), int(acq[q]))
+        # one-pass rate control (vp9_ratectrl.c one-pass CBR analog):
+        # a virtual buffer integrates (target - actual) bytes per frame
+        # and nudges qindex each frame; 0 = fixed-QP
+        self.target_bitrate_kbps = 0 if lossless else target_bitrate_kbps
+        self.fps = fps
+        self._rc_q = self.base_qindex
+        self._rc_buffer = 0.0
+
+        self._set_frame_q(self.base_qindex)
 
         self.fc = M.FrameContext.default()
         self.coef_probs_list = self.fc.coef.tolist()
@@ -97,14 +125,98 @@ class Vp9Encoder:
 
     # ------------------------------------------------------------ frame
 
+    def _set_frame_q(self, q: int) -> None:
+        """Per-frame quantizer (normative dequant tables; deltas = 0)."""
+        q = 0 if self.lossless else max(1, min(255, int(q)))
+        self.base_qindex = q
+        dcq = M.DC_QLOOKUP[self.bit_depth]
+        acq = M.AC_QLOOKUP[self.bit_depth]
+        self.dq_y = (int(dcq[q]), int(acq[q]))
+        self.dq_uv = (int(dcq[q]), int(acq[q]))
+
+    def _rc_frame_target(self, is_key: bool) -> float:
+        """Per-frame byte budget.  The keyframe borrows from its GOP's
+        inter frames so each GOP sums to gop * per-frame-target
+        (vp9_ratectrl.c rc->this_frame_target shaping)."""
+        base = self.target_bitrate_kbps * 1000.0 / 8.0 / self.fps
+        if self.gop <= 1:
+            return base
+        boost = min(self.gop, 4)
+        if is_key:
+            return base * boost
+        return base * (self.gop - boost) / (self.gop - 1)
+
+    def _rc_pre_frame(self, is_key: bool) -> None:
+        """Pick this frame's qindex from the running rate-control state
+        (one-pass CBR shape: vp9/encoder/vp9_ratectrl.c)."""
+        if not self.target_bitrate_kbps:
+            return
+        q = self._rc_q
+        if is_key:
+            q = max(1, q - q // 8)   # quality boost for the GOP anchor
+        self._set_frame_q(q)
+
+    @staticmethod
+    def _rc_qstep(actual: float, target: float, gain: float = 16.0,
+                  bound: int = 24) -> int:
+        """Proportional qindex correction: the quantizer tables are
+        near-exponential in qindex (~2x per 24 steps), so the log2 of
+        the byte-ratio maps directly to a qindex delta."""
+        import math
+        ratio = max(actual, 1.0) / max(target, 1.0)
+        return max(-bound, min(bound, round(gain * math.log2(ratio))))
+
+    def _rc_post_frame(self, nbytes: int, is_key: bool) -> None:
+        if not self.target_bitrate_kbps:
+            return
+        target = self._rc_frame_target(is_key)
+        # integrate drift (clamped: old debt must not cause windup)
+        self._rc_buffer += target - nbytes
+        self._rc_buffer = max(-8.0 * target, min(8.0 * target,
+                                                 self._rc_buffer))
+        q = self._rc_q + self._rc_qstep(nbytes, target)
+        # small integral trim against accumulated drift
+        q -= max(-8, min(8, int(self._rc_buffer / max(target, 1.0) * 2)))
+        self._rc_q = max(1, min(255, q))
+
     def encode_frame(self, planes) -> bytes:
-        """Encode [y, u, v] planes (uint8/uint16, crop dims) as a keyframe."""
-        st = _FrameState(self, planes)
-        tile_data = self._encode_tiles(st)
-        comp = self._compressed_header()
-        unc = self._uncompressed_header(len(comp))
+        """Encode [y, u, v] planes (uint8/uint16, crop dims).
+
+        Keyframe when the GOP says so (or gop <= 1), else a
+        single-reference inter frame predicting from the previous
+        frame's reconstruction."""
+        is_key = self.frame_idx % self.gop == 0 or self._ref_recon is None
+        self._rc_pre_frame(is_key)
+        target = self._rc_frame_target(is_key)
+        for attempt in range(4):
+            st = _FrameState(self, planes)
+            if is_key:
+                tile_data = self._encode_tiles(st)
+                comp = self._compressed_header()
+                unc = self._uncompressed_header(len(comp))
+            else:
+                tile_data = self._encode_inter_tiles(st)
+                from .interframe import _compressed_header_inter
+                comp = _compressed_header_inter()
+                unc = self._uncompressed_header_inter(len(comp))
+            out = unc + comp + tile_data
+            # recode loop (vp9_encoder.c recode_loop_test): a frame that
+            # badly overshoots its target is re-encoded at a corrected q
+            thresh = 1.3 if is_key else 1.75
+            if not self.target_bitrate_kbps or attempt == 3 \
+                    or len(out) <= thresh * target \
+                    or self.base_qindex >= 255:
+                break
+            self._set_frame_q(self.base_qindex
+                              + max(8, self._rc_qstep(len(out), target,
+                                                      gain=24, bound=64)))
         self._last_recon = st.recon  # in-loop reconstruction (PSNR probes)
-        return unc + comp + tile_data
+        self._ref_recon = [p.copy() for p in st.recon]
+        self.frame_idx += 1
+        self._rc_q = self.base_qindex if self.target_bitrate_kbps \
+            and not is_key else self._rc_q
+        self._rc_post_frame(len(out), is_key)
+        return out
 
     _last_recon = None
 
@@ -163,6 +275,452 @@ class Vp9Encoder:
         for _ in range(C.SKIP_CONTEXTS):
             w.write(0, C.DIFF_UPDATE_PROB)
         return w.stop()
+
+    # ------------------------------------------------- inter frames
+
+    def _uncompressed_header_inter(self, comp_size: int) -> bytes:
+        """Non-key error-resilient inter header (single ref, slot 0,
+        refresh slot 0; mirror of parse_uncompressed_header)."""
+        wb = BitWriter()
+        wb.f(C.VP9_FRAME_MARKER, 2)
+        wb.write_bit(self.profile & 1)
+        wb.write_bit((self.profile >> 1) & 1)
+        wb.write_bit(0)              # show_existing_frame
+        wb.write_bit(1)              # frame_type: non-key
+        wb.write_bit(1)              # show_frame
+        wb.write_bit(1)              # error_resilient_mode
+        wb.f(1, 8)                   # refresh_frame_flags: slot 0
+        for _ in range(C.REFS_PER_FRAME):
+            wb.f(0, C.REF_FRAMES_LOG2)   # all refs -> slot 0
+            wb.write_bit(0)              # sign bias
+        for _ in range(C.REFS_PER_FRAME):
+            wb.write_bit(0)              # size NOT taken from this ref
+        wb.f(self.width - 1, 16)
+        wb.f(self.height - 1, 16)
+        wb.write_bit(0)              # render == frame size
+        wb.write_bit(0)              # allow_high_precision_mv
+        wb.write_bit(0)              # interp filter: literal follows
+        wb.f(0, 2)                   # EIGHTTAP
+        # error_resilient: no refresh_frame_context / frame_parallel
+        wb.f(0, C.FRAME_CONTEXTS_LOG2)
+        wb.f(0, 6)                   # lf filter_level
+        wb.f(0, 3)                   # lf sharpness
+        wb.write_bit(0)              # mode_ref_delta_enabled
+        wb.f(self.base_qindex, 8)
+        wb.write_bit(0)              # y_dc_delta_q
+        wb.write_bit(0)              # uv_dc_delta_q
+        wb.write_bit(0)              # uv_ac_delta_q
+        wb.write_bit(0)              # segmentation
+        if self.log2_tile_cols < self.max_log2_tile_cols:
+            wb.write_bit(0)
+        wb.write_bit(0)              # log2_tile_rows
+        wb.f(comp_size, 16)
+        return wb.data()
+
+    def _make_parse_state(self):
+        """Decoder-machinery state for inter symbol contexts (mode /
+        ref / partition), exactly as encoder/interframe.py builds it."""
+        from ..decoder.headers import (FrameHeader, LoopFilterParams,
+                                       SegmentationParams)
+        from ..decoder.compressed_header import CompressedHeader
+        from ..decoder.tiles import FrameParseState
+        hdr = FrameHeader()
+        hdr.profile = self.profile
+        hdr.frame_type = 1
+        hdr.show_frame = 1
+        hdr.error_resilient_mode = 1
+        hdr.intra_only = 0
+        hdr.width = self.width
+        hdr.height = self.height
+        hdr.bit_depth = self.bit_depth
+        hdr.subsampling_x = hdr.subsampling_y = 1
+        hdr.base_qindex = self.base_qindex
+        hdr.refresh_frame_flags = 1
+        for i in range(C.REFS_PER_FRAME):
+            hdr.ref_frame_idx[i] = 0
+            hdr.ref_frame_sign_bias[C.LAST_FRAME + i] = 0
+        hdr.allow_high_precision_mv = 0
+        hdr.interp_filter = C.LITERAL_TO_FILTER_MAP[0]
+        hdr.lf = LoopFilterParams()
+        hdr.lf.filter_level = 0
+        hdr.seg = SegmentationParams()
+        hdr.compute_geometry()
+        hdr.log2_tile_cols = self.log2_tile_cols
+        hdr.log2_tile_rows = 0
+        ch = CompressedHeader()
+        ch.tx_mode = C.ALLOW_32X32
+        ch.reference_mode = C.SINGLE_REFERENCE
+
+        class _DS:
+            subsampling_x = 1
+            subsampling_y = 1
+            seg_map_last = None
+            use_prev_frame_mvs = False
+            prev_ref = None
+            prev_mv = None
+
+        return FrameParseState(hdr, ch, self.fc, None, _DS)
+
+    def _encode_inter_tiles(self, st: "_FrameState") -> bytes:
+        from ..decoder.tiles import TileInfo, Xd
+        pst = self._make_parse_state()
+        tile_cols = 1 << self.log2_tile_cols
+        chunks = []
+        for tc in range(tile_cols):
+            col_start = _tile_offset(tc, self.mi_cols, self.log2_tile_cols)
+            col_end = _tile_offset(tc + 1, self.mi_cols, self.log2_tile_cols)
+            w = BoolEncoder()
+            st.tile_col_start = col_start
+            xd = Xd()
+            xd.tile = TileInfo(0, self.mi_rows, col_start, col_end)
+            for mi_row in range(0, self.mi_rows, C.MI_BLOCK_SIZE):
+                st.zero_left_ctx()
+                pst.zero_left_ctx()
+                for mi_col in range(col_start, col_end, C.MI_BLOCK_SIZE):
+                    self._encode_inter_partition(pst, st, xd, w, mi_row,
+                                                 mi_col, C.BLOCK_64X64, 4)
+            chunks.append(w.stop())
+        out = bytearray()
+        for i, c in enumerate(chunks):
+            if i != len(chunks) - 1:
+                out += len(c).to_bytes(4, "big")
+            out += c
+        return bytes(out)
+
+    def _encode_inter_partition(self, pst, st, xd, w, mi_row, mi_col,
+                                bsize, n4x4_l2):
+        from ..decoder.tiles import (_dec_partition_plane_context,
+                                     _dec_update_partition_context)
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        n8x8_l2 = n4x4_l2 - 1
+        num_8x8_wh = 1 << n8x8_l2
+        hbs = num_8x8_wh >> 1
+        has_rows = (mi_row + hbs) < self.mi_rows
+        has_cols = (mi_col + hbs) < self.mi_cols
+        fits = has_rows and has_cols
+        if bsize <= self.block_size and fits:
+            partition = C.PARTITION_NONE
+        elif not hbs:
+            partition = C.PARTITION_NONE
+        else:
+            partition = C.PARTITION_SPLIT
+
+        ctx = _dec_partition_plane_context(pst, mi_row, mi_col, n8x8_l2)
+        probs = self.fc.partition[ctx].tolist()
+        if has_rows and has_cols:
+            w.write_tree(M.PARTITION_TREE, probs, _PARTITION_PATHS, partition)
+        elif not has_rows and has_cols:
+            w.write(1 if partition == C.PARTITION_SPLIT else 0, probs[1])
+        elif has_rows and not has_cols:
+            w.write(1 if partition == C.PARTITION_SPLIT else 0, probs[2])
+
+        subsize = int(M.SUBSIZE_LOOKUP[partition][bsize])
+        if partition == C.PARTITION_NONE:
+            self._encode_inter_block(pst, st, xd, w, mi_row, mi_col,
+                                     subsize, max(n4x4_l2, 1),
+                                     max(n4x4_l2, 1))
+        else:
+            self._encode_inter_partition(pst, st, xd, w, mi_row, mi_col,
+                                         subsize, n8x8_l2)
+            self._encode_inter_partition(pst, st, xd, w, mi_row,
+                                         mi_col + hbs, subsize, n8x8_l2)
+            self._encode_inter_partition(pst, st, xd, w, mi_row + hbs,
+                                         mi_col, subsize, n8x8_l2)
+            self._encode_inter_partition(pst, st, xd, w, mi_row + hbs,
+                                         mi_col + hbs, subsize, n8x8_l2)
+
+        if bsize >= C.BLOCK_8X8 and (bsize == C.BLOCK_8X8
+                                     or partition != C.PARTITION_SPLIT):
+            _dec_update_partition_context(pst, mi_row, mi_col, subsize,
+                                          num_8x8_wh)
+
+    def _encode_inter_block(self, pst, st, xd, w, mi_row, mi_col, bsize,
+                            bwl, bhl):
+        """One block of an inter frame: ZEROMV/LAST (skip or coded
+        residual) vs intra fallback, contexts via the decoder machinery
+        (read_inter_frame_mode_info parity)."""
+        from ..decoder import decodemv, mvref
+        bd = self.bit_depth
+        g = pst.mi
+        fc = self.fc
+        bw_mi = 1 << (bwl - 1)
+        bh_mi = 1 << (bhl - 1)
+        x_mis = min(bw_mi, self.mi_cols - mi_col)
+        y_mis = min(bh_mi, self.mi_rows - mi_row)
+        mb_to_right = (self.mi_cols - bw_mi - mi_col) * 64
+        mb_to_bottom = (self.mi_rows - bh_mi - mi_row) * 64
+        tx_size_y = int(M.MAX_TXSIZE_LOOKUP[bsize])
+
+        xd.mb_to_top_edge = -((mi_row * C.MI_SIZE) * 8)
+        xd.mb_to_bottom_edge = ((self.mi_rows - bh_mi - mi_row)
+                                * C.MI_SIZE) * 8
+        xd.mb_to_left_edge = -((mi_col * C.MI_SIZE) * 8)
+        xd.mb_to_right_edge = ((self.mi_cols - bw_mi - mi_col)
+                               * C.MI_SIZE) * 8
+        xd.above = g.at(mi_row - 1, mi_col) if mi_row > 0 else None
+        xd.left = (g.at(mi_row, mi_col - 1)
+                   if mi_col > xd.tile.mi_col_start else None)
+        g.sb_type[mi_row, mi_col] = bsize
+        g.segment_id[mi_row, mi_col] = 0
+
+        # ---- mode decision: inter candidates (ZEROMV / NEARESTMV /
+        # NEARMV from the decoder's own mv-ref machinery / NEWMV by
+        # motion search) vs best-intra, scored by probe SAD plus
+        # rate-weighted MV bits (vp9_rd_pick_inter_mode_sb spirit,
+        # vp9/encoder/vp9_rdopt.c)
+        from .motion import (full_pel_search, mv_bits_estimate,
+                             subpel_refine, write_mv)
+        x0 = mi_col * 8
+        y0 = mi_row * 8
+        probe = min((1 << bwl) * 4, 32)
+        s = st.src[0][y0:y0 + probe, x0:x0 + probe].astype(np.int64)
+        cw, ch = st.crop_dims[0]
+        refY = self._ref_recon[0]
+        kernel = M.FILTER_KERNELS[pst.interp_filter]
+        lam = max(1, self.dq_y[1] >> 3)
+
+        def probe_sad(mv):
+            if mv == (0, 0):
+                p = _zeromv_pred(refY, (cw, ch), x0, y0,
+                                 s.shape[1], s.shape[0])
+            else:
+                srow_q4, scol_q4 = mv[0] * 2, mv[1] * 2
+                p = inter_ops.convolve_block(
+                    refY, cw, ch, x0 + (scol_q4 >> 4), y0 + (srow_q4 >> 4),
+                    scol_q4 & 15, srow_q4 & 15, 16, 16,
+                    s.shape[1], s.shape[0], kernel, bd, None)
+            return int(np.abs(s - p).sum())
+
+        # candidate MVs exactly as the decoder will derive them
+        # (read_inter_block_mode_info: tmp[refmv_count - 1] per mode)
+        mvl, cnt = mvref.dec_find_mv_refs(pst, xd, C.NEARESTMV,
+                                          C.LAST_FRAME, bsize,
+                                          mi_row, mi_col, -1)
+        mv_nearest = mvref.lower_mv_precision(mvl[cnt - 1], 0)
+        mvl, cnt = mvref.dec_find_mv_refs(pst, xd, C.NEARMV, C.LAST_FRAME,
+                                          bsize, mi_row, mi_col, -1)
+        mv_near = mvref.lower_mv_precision(mvl[cnt - 1], 0)
+        mvl, _ = mvref.dec_find_mv_refs(pst, xd, C.NEWMV, C.LAST_FRAME,
+                                        bsize, mi_row, mi_col, -1)
+        ref_mv = mvref.lower_mv_precision(mvl[0], 0)
+
+        cands = [(C.ZEROMV, (0, 0), probe_sad((0, 0)))]
+        for m, mv in ((C.NEARESTMV, mv_nearest), (C.NEARMV, mv_near)):
+            if mv != (0, 0) and C.MV_LOW < mv[0] < C.MV_UPP \
+                    and C.MV_LOW < mv[1] < C.MV_UPP:
+                cands.append((m, mv, probe_sad(mv)))
+        if self.mode_search:
+            starts = [(0, 0), ((ref_mv[0] + 4) >> 3, (ref_mv[1] + 4) >> 3)]
+            fr, fcl, _, _ = full_pel_search(s, refY, cw, ch, x0, y0,
+                                            starts, sad_range=24,
+                                            lam=lam, pred_mv=ref_mv)
+            mv_new, _, nsad = subpel_refine(s, refY, cw, ch, x0, y0,
+                                            (fr, fcl), kernel, bd,
+                                            lam=lam, pred_mv=ref_mv)
+            if mv_new not in ((0, 0), mv_nearest, mv_near):
+                cands.append((C.NEWMV, mv_new,
+                              nsad + lam * mv_bits_estimate(mv_new,
+                                                            ref_mv)))
+        inter_mode, best_mv, inter_cost = min(cands, key=lambda t: t[2])
+
+        y_mode = self._pick_mode(st, 0, mi_row, mi_col, bsize, bwl, bhl,
+                                 mb_to_right, mb_to_bottom) \
+            if self.mode_search else C.DC_PRED
+        # intra probe SAD for the chosen mode
+        intra_sad = None
+        try:
+            above, tl, left = intra.build_edges(
+                st.recon[0], *st.aligned_dims[0], x0, y0, probe, y_mode,
+                mi_row > 0, mi_col > st.tile_col_start, False,
+                mb_to_right < 0, mb_to_bottom < 0, bd)
+            ipred = intra.predict(y_mode, probe, above, tl, left,
+                                  mi_col > st.tile_col_start, mi_row > 0, bd)
+            intra_sad = int(np.abs(
+                s - ipred[:s.shape[0], :s.shape[1]]).sum())
+        except Exception:
+            pass
+        use_inter = intra_sad is None or inter_cost <= intra_sad
+        self.mode_counts[inter_mode if use_inter else "intra"] += 1
+
+        # ---- compute prediction + residual transforms
+        tx_blocks = []
+        eobtotal_nz = False
+        for plane in range(3):
+            sx = 1 if plane else 0
+            sy = 1 if plane else 0
+            recon = st.recon[plane]
+            src = st.src[plane]
+            fw, fh = st.aligned_dims[plane]
+            tx_size = tx_size_y if plane == 0 else \
+                int(M.UV_TXSIZE_LOOKUP[bsize][tx_size_y][sx][sy])
+            n4_w = (1 << bwl) >> sx
+            n4_h = (1 << bhl) >> sy
+            n4_wl = bwl - sx
+            step = 1 << tx_size
+            max_bw = n4_w + (mb_to_right >> (5 + sx) if mb_to_right < 0
+                             else 0)
+            max_bh = n4_h + (mb_to_bottom >> (5 + sy) if mb_to_bottom < 0
+                             else 0)
+            bx4 = (mi_col * 2) >> sx
+            by4 = (mi_row * 2) >> sy
+            px0, py0 = bx4 * 4, by4 * 4
+            bs_full = 4 << tx_size
+            dq = self.dq_y if plane == 0 else self.dq_uv
+            mode = y_mode
+            if use_inter:
+                # whole-block edge-clamped prediction at best_mv
+                # (dec_build_inter_predictors / _mc_unit unscaled branch:
+                # chroma positions are q4 of the half-res plane)
+                bw_px = n4_w * 4
+                bh_px = n4_h * 4
+                if best_mv == (0, 0):
+                    recon[py0:py0 + bh_px, px0:px0 + bw_px] = _zeromv_pred(
+                        self._ref_recon[plane], st.crop_dims[plane],
+                        px0, py0, bw_px, bh_px)
+                else:
+                    srow = best_mv[0] * (1 << (1 - sy))
+                    scol = best_mv[1] * (1 << (1 - sx))
+                    pcw, pch = st.crop_dims[plane]
+                    recon[py0:py0 + bh_px, px0:px0 + bw_px] = \
+                        inter_ops.convolve_block(
+                            self._ref_recon[plane], pcw, pch,
+                            px0 + (scol >> 4), py0 + (srow >> 4),
+                            scol & 15, srow & 15, 16, 16, bw_px, bh_px,
+                            M.FILTER_KERNELS[pst.interp_filter], bd, None)
+            have_up_blk = mi_row > 0
+            have_left_blk = mi_col > st.tile_col_start
+            for row in range(0, max_bh, step):
+                for col in range(0, max_bw, step):
+                    tx0 = (bx4 + col) * 4
+                    ty0 = (by4 + row) * 4
+                    if use_inter:
+                        pred = recon[ty0:ty0 + bs_full,
+                                     tx0:tx0 + bs_full].astype(np.int64)
+                        tx_type = C.DCT_DCT
+                    else:
+                        have_up = (row > 0) or have_up_blk
+                        have_left = (col > 0) or have_left_blk
+                        have_right = (col + step) < (1 << n4_wl)
+                        above, tl, left = intra.build_edges(
+                            recon, fw, fh, tx0, ty0, bs_full, mode,
+                            have_up, have_left, have_right,
+                            mb_to_right < 0, mb_to_bottom < 0, bd)
+                        pred = intra.predict(mode, bs_full, above, tl,
+                                             left, have_left, have_up, bd)
+                        recon[ty0:ty0 + bs_full, tx0:tx0 + bs_full] = pred
+                        tx_type = (C.DCT_DCT if plane
+                                   else _INTRA_MODE_TO_TX_TYPE[mode])
+                    resid = (src[ty0:ty0 + bs_full,
+                                 tx0:tx0 + bs_full].astype(np.int64) - pred)
+                    cf = fwd_txfm2d(resid[None], tx_size, tx_type)
+                    levels = tokenize.quantize_block(
+                        cf[0], dq[0], dq[1], tx_size, bd)
+                    if levels.any():
+                        eobtotal_nz = True
+                        dq_shift = 1 if tx_size == C.TX_32X32 else 0
+                        dqv = np.full(levels.shape, dq[1], np.int64)
+                        dqv[0] = dq[0]
+                        dqc = (np.sign(levels)
+                               * ((np.abs(levels) * dqv) >> dq_shift))
+                        dqc = ((dqc + (1 << 31)) % (1 << 32)) - (1 << 31)
+                        res = inv.inv_txfm2d(
+                            dqc.astype(np.int32)[None], tx_size,
+                            tx_type, bd)[0]
+                        region = recon[ty0:ty0 + bs_full, tx0:tx0 + bs_full]
+                        region[:] = np.clip(
+                            region.astype(np.int64) + res, 0, (1 << bd) - 1)
+                    tx_blocks.append((plane, row, col, tx_size, levels,
+                                      tx_type, step, max_bw, max_bh))
+
+        skip = 0 if eobtotal_nz else 1
+
+        # ---- syntax (read_inter_frame_mode_info order)
+        above, left = xd.above, xd.left
+        skip_ctx = ((above.skip if above is not None else 0)
+                    + (left.skip if left is not None else 0))
+        w.write(skip, int(fc.skip[skip_ctx]))
+        ii_ctx = decodemv._get_intra_inter_context(xd)
+        w.write(1 if use_inter else 0, int(fc.intra_inter[ii_ctx]))
+        # tx_size: tx_mode != TX_MODE_SELECT -> no bits
+        if use_inter:
+            g.ref[mi_row, mi_col, 0] = C.LAST_FRAME
+            g.ref[mi_row, mi_col, 1] = C.NONE_FRAME
+            p1_ctx = decodemv._get_pred_context_single_ref_p1(xd)
+            w.write(0, int(fc.single_ref[p1_ctx][0]))
+            mode_ctx = mvref.get_mode_context(pst, xd, bsize, mi_row,
+                                              mi_col)
+            w.write_tree(M.INTER_MODE_TREE,
+                         fc.inter_mode[mode_ctx].tolist(),
+                         _INTER_MODE_PATHS, inter_mode - C.NEARESTMV)
+            if inter_mode == C.NEWMV:
+                # MV residual vs the decoder's best_ref_mvs[0]
+                # (vp9_encodemv.c vp9_encode_mv / _read_mv mirror)
+                write_mv(w, fc, best_mv, ref_mv)
+            g.mode[mi_row, mi_col] = inter_mode
+            g.uv_mode[mi_row, mi_col] = C.DC_PRED
+            g.mv[mi_row, mi_col, 0, 0] = best_mv[0]
+            g.mv[mi_row, mi_col, 0, 1] = best_mv[1]
+            g.mv[mi_row, mi_col, 1] = 0
+        else:
+            g.ref[mi_row, mi_col, 0] = C.INTRA_FRAME
+            g.ref[mi_row, mi_col, 1] = C.NONE_FRAME
+            # read_intra_block_mode_info: fc.y_mode[size group] tree
+            sg = int(M.SIZE_GROUP[bsize])
+            w.write_tree(M.INTRA_MODE_TREE, fc.y_mode[sg].tolist(),
+                         _INTRA_MODE_PATHS, y_mode)
+            w.write_tree(M.INTRA_MODE_TREE, fc.uv_mode[y_mode].tolist(),
+                         _INTRA_MODE_PATHS, y_mode)
+            g.mode[mi_row, mi_col] = y_mode
+            g.uv_mode[mi_row, mi_col] = y_mode
+            g.mv[mi_row, mi_col] = 0
+        g.skip[mi_row, mi_col] = skip
+        g.tx_size[mi_row, mi_col] = tx_size_y
+        g.interp_filter[mi_row, mi_col] = pst.interp_filter
+        decodemv._replicate(pst, mi_row, mi_col, x_mis, y_mis)
+
+        # ---- tokens (identical entropy-context handling to keyframes)
+        if skip:
+            _reset_skip_ctx(st, mi_row, mi_col, bwl, bhl)
+        else:
+            ref_type = 1 if use_inter else 0
+            for (plane, row, col, tx_size, levels, tx_type, step,
+                 max_bw, max_bh) in tx_blocks:
+                sx = 1 if plane else 0
+                sy = 1 if plane else 0
+                plane_type = 1 if plane else 0
+                above_c = st.above_ctx[plane]
+                left_c = st.left_ctx[plane]
+                apos = (mi_col * 2) >> sx
+                lpos = ((mi_row * 2) & 15) >> sy
+                clip_w = max_bw if mb_to_right < 0 else 0
+                clip_h = max_bh if mb_to_bottom < 0 else 0
+                if tx_size == C.TX_4X4:
+                    ctx = int(above_c[apos + col] != 0) + \
+                        int(left_c[lpos + row] != 0)
+                else:
+                    ctx = int(above_c[apos + col:apos + col
+                                      + step].any()) + \
+                        int(left_c[lpos + row:lpos + row + step].any())
+                sc = self.scans[tx_size][tx_type if not plane_type
+                                         else C.DCT_DCT]
+                coef_probs = \
+                    self.coef_probs_list[tx_size][plane_type][ref_type]
+                eob = tokenize.encode_coefs(
+                    w, coef_probs, levels, tx_size, ctx,
+                    sc.scan.tolist(), sc.neighbors.reshape(-1).tolist(),
+                    self.bit_depth)
+                nz = 1 if eob > 0 else 0
+                sh_a = (step - (clip_w - col)) if (clip_w
+                                                   and step + col > clip_w) \
+                    else 0
+                sh_l = (step - (clip_h - row)) if (clip_h
+                                                   and step + row > clip_h) \
+                    else 0
+                above_c[apos + col:apos + col + step] = 0
+                above_c[apos + col:apos + col + step - sh_a] = nz
+                left_c[lpos + row:lpos + row + step] = 0
+                left_c[lpos + row:lpos + row + step - sh_l] = nz
 
     # ------------------------------------------------------------- tiles
 
@@ -439,6 +997,10 @@ class _FrameState:
         ha = ((mi_rows + 7) & ~7) * 8
         w, h = mi_cols * 8, mi_rows * 8
         self.aligned_dims = [(w, h), (w >> 1, h >> 1), (w >> 1, h >> 1)]
+        # visible crop per plane (inter prediction clamps reads here)
+        cw, ch = enc.width, enc.height
+        self.crop_dims = [(cw, ch), ((cw + 1) >> 1, (ch + 1) >> 1),
+                          ((cw + 1) >> 1, (ch + 1) >> 1)]
         self.recon = [np.zeros((ha, wa), np.uint16),
                       np.zeros((ha >> 1, wa >> 1), np.uint16),
                       np.zeros((ha >> 1, wa >> 1), np.uint16)]
@@ -472,6 +1034,16 @@ class _FrameState:
         for p in range(3):
             self.left_ctx[p][:] = 0
         self.left_seg_ctx[:] = 0
+
+
+def _zeromv_pred(ref_plane, crop, x0, y0, w, h):
+    """Full-pel edge-clamped ZEROMV prediction (convolve at phase 0 is
+    a clamped copy; ref sample coordinates clip into the visible crop,
+    dec_build_inter_predictors / build_mc_border parity)."""
+    cw, ch = crop
+    rows = np.clip(np.arange(y0, y0 + h), 0, ch - 1)
+    cols = np.clip(np.arange(x0, x0 + w), 0, cw - 1)
+    return ref_plane[np.ix_(rows, cols)].astype(np.int64)
 
 
 def _tile_offset(idx, mis, log2):

@@ -1,14 +1,14 @@
-"""vpxenc parity (intra-only slice): encode raw video to VP9-in-IVF.
+"""vpxenc parity: encode raw video to VP9-in-IVF.
 
-Reference: libvpx/vpxenc.c + vp9/vp9_cx_iface.c.  This first slice covers
-keyframe-only fixed-QP encoding (every frame a keyframe, --kf-max-dist=1
-equivalent), .y4m or raw I420 input, IVF output.
+Reference: libvpx/vpxenc.c + vp9/vp9_cx_iface.c.  Fixed-QP encoding;
+--kf-max-dist > 1 codes single-reference ZEROMV/LAST inter frames with
+intra fallback between keyframes.  .y4m or raw I420 input, IVF output.
 
 Usage:
   python -m cuda_vp9_tpu.tools.vpxenc in.{y4m,yuv} -o out.ivf
          [--width W --height H] [--qindex Q] [--lossless]
          [--block-size {8,16,32,64}] [--limit N] [--bit-depth {8,10,12}]
-         [--no-mode-search] [--psnr]
+         [--kf-max-dist N] [--no-mode-search] [--psnr]
 """
 
 from __future__ import annotations
@@ -43,6 +43,15 @@ def main(argv=None):
     ap.add_argument("--bit-depth", type=int, default=0,
                     choices=(0, 8, 10, 12),
                     help="0 = take from the input")
+    ap.add_argument("--kf-max-dist", type=int, default=1, metavar="N",
+                    help="keyframe interval; N>1 codes motion-searched "
+                         "LAST inter frames between keyframes "
+                         "(default 1 = all-intra)")
+    ap.add_argument("--target-bitrate", type=int, default=0, metavar="K",
+                    help="one-pass rate control toward K kbit/s "
+                         "(0 = fixed QP at --qindex)")
+    ap.add_argument("--fps", type=float, default=30.0,
+                    help="frame rate for rate control (default 30)")
     ap.add_argument("--no-mode-search", action="store_true",
                     help="force DC_PRED (faster, lower quality)")
     ap.add_argument("--psnr", action="store_true",
@@ -60,7 +69,10 @@ def main(argv=None):
     enc = Vp9Encoder(w, h, base_qindex=args.qindex, bit_depth=bd,
                      block_size=_BSIZE[args.block_size],
                      lossless=args.lossless,
-                     mode_search=not args.no_mode_search)
+                     mode_search=not args.no_mode_search,
+                     gop=args.kf_max_dist,
+                     target_bitrate_kbps=args.target_bitrate,
+                     fps=args.fps)
 
     t0 = time.monotonic()
     n = 0

@@ -87,6 +87,99 @@ def test_encode_roundtrip(tmp_path, w, h, q, bs):
     assert own == norm
 
 
+@pytest.mark.parametrize("w,h,q", [
+    (176, 144, 60),
+    (210, 122, 90),   # odd dims: edge-clamped ZEROMV prediction
+])
+def test_encode_inter_roundtrip(tmp_path, w, h, q):
+    """gop > 1: ZEROMV/LAST inter frames with intra fallback must be
+    spec-valid (own decoder == normative decoder, per frame)."""
+    ivf = tmp_path / "enc_p.ivf"
+    frames = _make_frames(w, h, 6)
+    _encode_ivf(ivf, frames, base_qindex=q, gop=6)
+    own = _own_md5(ivf)
+    norm = _normative_md5(tmp_path, ivf)
+    assert len(own) == 6
+    assert own == norm
+
+
+def _make_panning_frames(w, h, n, seed=9, dx=3, dy=2):
+    """Textured scene panning (dx, dy) px/frame: ZEROMV codes a full
+    residual, motion search should land on (or near) the true shift."""
+    rng = np.random.default_rng(seed)
+    pad = 8 * n
+    base = rng.integers(0, 256, (h + pad, w + pad), np.uint8)
+    # smooth it a little so subpel interpolation can win
+    base = ((base.astype(np.int32)
+             + np.roll(base, 1, 0) + np.roll(base, 1, 1)
+             + np.roll(base, -1, 0)) // 4).astype(np.uint8)
+    cw, ch = (w + 1) >> 1, (h + 1) >> 1
+    out = []
+    for t in range(n):
+        y = base[t * dy:t * dy + h, t * dx:t * dx + w]
+        u = np.full((ch, cw), 120, np.uint8)
+        v = np.full((ch, cw), 130, np.uint8)
+        out.append([y.copy(), u, v])
+    return out
+
+
+def test_encode_newmv_roundtrip(tmp_path):
+    """Motion search (NEWMV + NEAREST/NEAR from the decoder's mv-ref
+    machinery) on panning content: spec-valid output AND the search must
+    actually pick NEWMV, AND motion coding must beat ZEROMV-style full
+    residuals by a wide bitrate margin."""
+    ivf = tmp_path / "enc_mv.ivf"
+    frames = _make_panning_frames(176, 144, 5)
+    enc = _encode_ivf(ivf, frames, base_qindex=60, gop=5)
+    own = _own_md5(ivf)
+    norm = _normative_md5(tmp_path, ivf)
+    assert len(own) == 5
+    assert own == norm
+    assert enc.mode_counts[C.NEWMV] > 0, enc.mode_counts
+    # whole-frame pans: nearly every inter block should be motion-coded
+    inter_total = sum(enc.mode_counts[m] for m in
+                     (C.ZEROMV, C.NEARESTMV, C.NEARMV, C.NEWMV))
+    moved = (enc.mode_counts[C.NEWMV] + enc.mode_counts[C.NEARESTMV]
+             + enc.mode_counts[C.NEARMV])
+    assert moved > inter_total // 2, enc.mode_counts
+
+
+def test_encode_rate_control(tmp_path):
+    """One-pass rate control: 30 noisy frames at a byte target the
+    starting QP badly misses; the controller must converge the stream
+    to within 35% of target AND stay spec-valid."""
+    ivf = tmp_path / "rc.ivf"
+    frames = _make_frames(176, 144, 30, noise=24)
+    kbps, fps = 220, 30.0
+    enc = _encode_ivf(ivf, frames, base_qindex=40, gop=10,
+                      target_bitrate_kbps=kbps, fps=fps)
+    assert _own_md5(ivf) == _normative_md5(tmp_path, ivf)
+    payload = sum(len(p) for p, _ in IvfReaderList(ivf))
+    target_total = kbps * 1000 / 8 / fps * 30
+    assert 0.65 * target_total < payload < 1.35 * target_total, \
+        (payload, target_total, enc._rc_q)
+
+
+def IvfReaderList(path):
+    from cuda_vp9_tpu.containers import IvfReader
+    with IvfReader(str(path)) as r:
+        return [(d, pts) for d, pts in r]
+
+
+def test_encode_inter_static_skips(tmp_path):
+    """Static content through gop-coding: inter frames should be nearly
+    all skip blocks — tiny packets and a large all-intra ratio."""
+    ivf_p = tmp_path / "p.ivf"
+    ivf_i = tmp_path / "i.ivf"
+    frames = _make_frames(176, 144, 1) * 6
+    _encode_ivf(ivf_p, frames, base_qindex=60, gop=6)
+    _encode_ivf(ivf_i, frames, base_qindex=60, gop=1)
+    assert _own_md5(ivf_p) == _normative_md5(tmp_path, ivf_p)
+    szp = ivf_p.stat().st_size
+    szi = ivf_i.stat().st_size
+    assert szp * 3 < szi, f"gop stream {szp} B not <1/3 of all-intra {szi} B"
+
+
 def test_encode_lossless_exact(tmp_path):
     """Lossless must reproduce the source planes bit-exactly — even on
     pure noise (the exact forward WHT inverts the normative inverse)."""
