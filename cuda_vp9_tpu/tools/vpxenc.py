@@ -32,6 +32,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="vpxenc", description=__doc__)
     ap.add_argument("input")
     ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--codec", choices=("vp9", "vp8"), default="vp9")
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--qindex", type=int, default=60,
@@ -66,20 +67,31 @@ def main(argv=None):
     bd = args.bit_depth or getattr(src, "bit_depth", 8)
     w, h = src.width, src.height
 
-    enc = Vp9Encoder(w, h, base_qindex=args.qindex, bit_depth=bd,
-                     block_size=_BSIZE[args.block_size],
-                     lossless=args.lossless,
-                     mode_search=not args.no_mode_search,
-                     gop=args.kf_max_dist,
-                     target_bitrate_kbps=args.target_bitrate,
-                     fps=args.fps)
+    if args.codec == "vp8":
+        if bd != 8:
+            print("vpxenc: vp8 is 8-bit only", file=sys.stderr)
+            return 1
+        from ..vp8.encoder import Vp8Encoder
+        enc = Vp8Encoder(w, h, qindex=min(args.qindex, 127),
+                         filter_level=20,
+                         bitrate_kbps=args.target_bitrate, fps=args.fps,
+                         kf_interval=max(args.kf_max_dist, 1))
+    else:
+        enc = Vp9Encoder(w, h, base_qindex=args.qindex, bit_depth=bd,
+                         block_size=_BSIZE[args.block_size],
+                         lossless=args.lossless,
+                         mode_search=not args.no_mode_search,
+                         gop=args.kf_max_dist,
+                         target_bitrate_kbps=args.target_bitrate,
+                         fps=args.fps)
 
     t0 = time.monotonic()
     n = 0
     total_bytes = 0
     with open(args.output, "wb") as f:
         fps = getattr(src, "fps", (30, 1))
-        writer = IvfWriter(f, b"VP90", w, h, fps[0], fps[1])
+        fourcc = b"VP80" if args.codec == "vp8" else b"VP90"
+        writer = IvfWriter(f, fourcc, w, h, fps[0], fps[1])
         for planes in src:
             payload = enc.encode_frame(planes)
             writer.write_frame(payload, n)

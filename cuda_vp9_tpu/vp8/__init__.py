@@ -1,13 +1,17 @@
-"""VP8 decode (RFC 6386).
+"""VP8 codec (RFC 6386).
 
 Full decode path of the reference's vp8/ codec (SURVEY S18): host
 entropy parse + NumPy reconstruction of key AND inter frames
 (last/golden/altref references, NEAREST/NEAR/ZERO/NEW/SPLIT motion,
 six-tap and bilinear sub-pel MC), validated per-frame against
-libavcodec's normative `vp8` decoder MD5s.
+libavcodec's normative `vp8` decoder MD5s.  Plus a VP8 encoder
+(vp8/encoder.py): keyframe intra + ZEROMV P-frames with loop filter
+and one-pass rate control, whose in-loop reconstruction is
+bit-identical to the decoder by construction.
 """
 
 from .decoder import Vp8Decoder, Vp8Error, Vp8KeyframeDecoder  # noqa: F401
+from .encoder import Vp8Encoder  # noqa: F401
 
 
 class Vp8StreamDecoder:
