@@ -72,6 +72,25 @@ class MultiStreamDecoder:
 
 
 _BFETCH_CACHE = {}
+_SYNC_CACHE = {}
+
+
+def _pool_syncer(S, pool_shape):
+    """jitted donated batch pool-slot writer: (pool [N,8,3,ha,wa],
+    idx [S,2], canvases [S,3,ha,wa]) -> pool with rows replaced
+    in-place (donation).  Padded entries repeat the last real sync —
+    writing the same canvas twice is idempotent, so no mask is needed."""
+    key = (S, pool_shape)
+    fn = _SYNC_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        def sync(pool, idx, canv):
+            return pool.at[idx[:, 0], idx[:, 1]].set(canv)
+
+        fn = jax.jit(sync, donate_argnums=0)
+        _SYNC_CACHE[key] = fn
+    return fn
 
 
 def _bfetcher(slot, dtype, shape):
@@ -340,10 +359,18 @@ class BatchedFusedDecoder:
         if all(f is None for f in self._round_flats) and not self._syncs:
             return
         ha, wa, bd = self._geom
-        # ordered pool syncs for host-produced reference slots
-        for (s, i, canvas) in self._syncs:
-            self._pool = self._pool.at[s, i].set(jnp.asarray(canvas))
-        self._syncs = []
+        # ordered pool syncs for host-produced reference slots: ONE
+        # stacked H2D + ONE donated jitted scatter for the whole round
+        # (a bare pool.at[s,i].set outside jit copies the entire
+        # [N,8,3,ha,wa] pool per slot — ~90 MB at 16x640x360)
+        if self._syncs:
+            S = 1 << (len(self._syncs) - 1).bit_length()
+            syncs = self._syncs + [self._syncs[-1]] * (S - len(self._syncs))
+            idx = np.array([(s, i) for (s, i, _) in syncs], np.int32)
+            canv = np.stack([c for (_, _, c) in syncs])
+            self._pool = _pool_syncer(S, self._pool.shape)(
+                self._pool, jnp.asarray(idx), jnp.asarray(canv))
+            self._syncs = []
         if all(f is None for f in self._round_flats):
             return
         PAGE = packmod.PAGE
