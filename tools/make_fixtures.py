@@ -112,6 +112,11 @@ def main():
     gen("ll01_176x144_lossless", 176, 144, 6, ["gop=4", "lossless=1", "crf=0",
                                                "cpu_used=2"])
     gen("br01_352x288_lowq", 352, 288, 15, ["gop=9999", "crf=50", "cpu_used=4"])
+    # --- error-resilient mode: every frame codes with default contexts,
+    # sign biases forced to 0 (vp9_setup_past_independence), no backward
+    # adaptation ---
+    gen("er01_176x144_resil", 176, 144, 12,
+        ["gop=6", "crf=32", "cpu_used=1", "error_resilient=1"])
     gen("hq01_176x144_hiq", 176, 144, 10, ["gop=9999", "crf=10", "cpu_used=0"])
     # --- max-density stream: pure noise at near-min q, every block coded
     # (exercises the wide-tier escalation + bounded host fallback) ---

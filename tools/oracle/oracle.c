@@ -58,6 +58,7 @@ static int do_encode(int argc, char **argv) {
     int tile_cols = 0, cpu_used = 1, bitdepth = 8, profile = 0, aq_mode = 0, threads = 1;
     int lag = 0, auto_alt_ref = 0, frame_parallel = 0;
     int ss = 420;                          /* pixfmt=420|422|444 */
+    int error_resilient = 0;
     const char *enc_name = "libvpx-vp9";   /* codec=libvpx selects VP8 */
     for (int i = 4; i < argc; i++) {
         char key[64]; int val;
@@ -81,6 +82,7 @@ static int do_encode(int argc, char **argv) {
         else if (!strcmp(key, "lag")) lag = val;
         else if (!strcmp(key, "auto_alt_ref")) auto_alt_ref = val;
         else if (!strcmp(key, "frame_parallel")) frame_parallel = val;
+        else if (!strcmp(key, "error_resilient")) error_resilient = val;
         else die("unknown key");
     }
 
@@ -117,6 +119,8 @@ static int do_encode(int argc, char **argv) {
     }
     snprintf(buf, sizeof buf, "%d", lag);
     av_opt_set(c->priv_data, "lag-in-frames", buf, 0);
+    if (error_resilient)
+        av_opt_set(c->priv_data, "error-resilient", "default", 0);
     snprintf(buf, sizeof buf, "%d", auto_alt_ref);
     av_opt_set(c->priv_data, "auto-alt-ref", buf, 0);
     if (avcodec_open2(c, codec, NULL) < 0) die("encoder open failed");
