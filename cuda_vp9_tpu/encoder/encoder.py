@@ -84,6 +84,15 @@ class Vp9Encoder:
         self.gop = 1 if lossless else max(1, gop)
         self.frame_idx = 0
         self._ref_recon = None   # previous frame's reconstruction
+        # frame plumbing for layered (SVC) streams: which pool slot the
+        # inter frames reference / refresh, whether frames are shown,
+        # and an optional externally-supplied reference whose size may
+        # differ from the frame (inter-layer prediction; the decoder
+        # then runs scaled-reference MC, vp9_scale.c)
+        self.show_frame = True
+        self.ref_slot = 0
+        self.refresh_slot = 0
+        self._ext_ref = None     # (planes, (crop_w, crop_h)) or None
         # per-stream inter mode decisions (observability; the reference
         # tracks the same in cpi->mode_chosen_counts)
         self.mode_counts = {C.ZEROMV: 0, C.NEARESTMV: 0, C.NEARMV: 0,
@@ -179,13 +188,25 @@ class Vp9Encoder:
         q -= max(-8, min(8, int(self._rc_buffer / max(target, 1.0) * 2)))
         self._rc_q = max(1, min(255, q))
 
-    def encode_frame(self, planes) -> bytes:
+    def set_reference(self, planes, crop_dims) -> None:
+        """Supply the next frame's prediction reference explicitly
+        (SVC inter-layer prediction).  `planes` are mi-aligned recon
+        planes; `crop_dims` the reference's visible (w, h).  When the
+        size differs from this encoder's frame size the blocks are
+        coded ZEROMV-vs-intra with vpx_scaled_2d-parity prediction."""
+        self._ext_ref = (planes, crop_dims)
+
+    def encode_frame(self, planes, force_key=None) -> bytes:
         """Encode [y, u, v] planes (uint8/uint16, crop dims).
 
         Keyframe when the GOP says so (or gop <= 1), else a
         single-reference inter frame predicting from the previous
-        frame's reconstruction."""
-        is_key = self.frame_idx % self.gop == 0 or self._ref_recon is None
+        frame's reconstruction (or the reference set with
+        set_reference)."""
+        is_key = (self.frame_idx % self.gop == 0
+                  or (self._ref_recon is None and self._ext_ref is None))
+        if force_key is not None:
+            is_key = force_key
         self._rc_pre_frame(is_key)
         target = self._rc_frame_target(is_key)
         for attempt in range(4):
@@ -212,6 +233,7 @@ class Vp9Encoder:
                                                       gain=24, bound=64)))
         self._last_recon = st.recon  # in-loop reconstruction (PSNR probes)
         self._ref_recon = [p.copy() for p in st.recon]
+        self._ext_ref = None         # consumed (one frame)
         self.frame_idx += 1
         self._rc_q = self.base_qindex if self.target_bitrate_kbps \
             and not is_key else self._rc_q
@@ -230,7 +252,7 @@ class Vp9Encoder:
         wb.write_bit((self.profile >> 1) & 1)
         wb.write_bit(0)              # show_existing_frame
         wb.write_bit(C.KEY_FRAME)    # frame_type
-        wb.write_bit(1)              # show_frame
+        wb.write_bit(1 if self.show_frame else 0)
         wb.write_bit(1)              # error_resilient_mode
         for b in C.VP9_SYNC_CODE:
             wb.f(b, 8)
@@ -287,11 +309,14 @@ class Vp9Encoder:
         wb.write_bit((self.profile >> 1) & 1)
         wb.write_bit(0)              # show_existing_frame
         wb.write_bit(1)              # frame_type: non-key
-        wb.write_bit(1)              # show_frame
+        wb.write_bit(1 if self.show_frame else 0)
         wb.write_bit(1)              # error_resilient_mode
-        wb.f(1, 8)                   # refresh_frame_flags: slot 0
+        if not self.show_frame:
+            wb.write_bit(0)          # intra_only = 0 (coded only when
+            #                          the frame is not shown)
+        wb.f(1 << self.refresh_slot, 8)  # refresh_frame_flags
         for _ in range(C.REFS_PER_FRAME):
-            wb.f(0, C.REF_FRAMES_LOG2)   # all refs -> slot 0
+            wb.f(self.ref_slot, C.REF_FRAMES_LOG2)
             wb.write_bit(0)              # sign bias
         for _ in range(C.REFS_PER_FRAME):
             wb.write_bit(0)              # size NOT taken from this ref
@@ -475,10 +500,27 @@ class Vp9Encoder:
         y0 = mi_row * 8
         probe = min((1 << bwl) * 4, 32)
         s = st.src[0][y0:y0 + probe, x0:x0 + probe].astype(np.int64)
-        cw, ch = st.crop_dims[0]
-        refY = self._ref_recon[0]
         kernel = M.FILTER_KERNELS[pst.interp_filter]
         lam = max(1, self.dq_y[1] >> 3)
+        # prediction reference: previous recon, or an external one
+        # (SVC inter-layer); a size mismatch switches this block to
+        # scaled-reference ZEROMV (vpx_scaled_2d parity via the oracle's
+        # _mc_unit) vs intra
+        ext_sf = None
+        if self._ext_ref is not None:
+            ref_planes, (ref_w, ref_h) = self._ext_ref
+            if (ref_w, ref_h) != (self.width, self.height):
+                from ..ops.ref.inter import ScaleFactors
+                ext_sf = ScaleFactors(ref_w, ref_h, self.width,
+                                      self.height)
+            ref_crops = [(ref_w, ref_h), ((ref_w + 1) >> 1,
+                                          (ref_h + 1) >> 1),
+                         ((ref_w + 1) >> 1, (ref_h + 1) >> 1)]
+        else:
+            ref_planes = self._ref_recon
+            ref_crops = st.crop_dims
+        cw, ch = ref_crops[0]
+        refY = ref_planes[0]
 
         def probe_sad(mv):
             if mv == (0, 0):
@@ -492,36 +534,55 @@ class Vp9Encoder:
                     s.shape[1], s.shape[0], kernel, bd, None)
             return int(np.abs(s - p).sum())
 
-        # candidate MVs exactly as the decoder will derive them
-        # (read_inter_block_mode_info: tmp[refmv_count - 1] per mode)
-        mvl, cnt = mvref.dec_find_mv_refs(pst, xd, C.NEARESTMV,
-                                          C.LAST_FRAME, bsize,
-                                          mi_row, mi_col, -1)
-        mv_nearest = mvref.lower_mv_precision(mvl[cnt - 1], 0)
-        mvl, cnt = mvref.dec_find_mv_refs(pst, xd, C.NEARMV, C.LAST_FRAME,
-                                          bsize, mi_row, mi_col, -1)
-        mv_near = mvref.lower_mv_precision(mvl[cnt - 1], 0)
-        mvl, _ = mvref.dec_find_mv_refs(pst, xd, C.NEWMV, C.LAST_FRAME,
-                                        bsize, mi_row, mi_col, -1)
-        ref_mv = mvref.lower_mv_precision(mvl[0], 0)
+        if ext_sf is not None:
+            # scaled inter-layer reference: ZEROMV only (prediction via
+            # the oracle's _mc_unit, bit-exact with the decoder's
+            # scaled branch); MV modes would need scale_mv-aware search
+            from ..ops.ref import recon as oracle_recon
+            bw_px = (1 << bwl) * 4
+            bh_px = (1 << bhl) * 4
+            oracle_recon._mc_unit(
+                st.recon[0], refY, cw, ch, (0, 0), 0, 0, bw_px, bh_px,
+                mi_col * 8, mi_row * 8, xd.mb_to_left_edge,
+                xd.mb_to_top_edge, mb_to_right, mb_to_bottom, 0, 0,
+                ext_sf, True, kernel, bd, 0)
+            pr = st.recon[0][y0:y0 + s.shape[0],
+                             x0:x0 + s.shape[1]].astype(np.int64)
+            cands = [(C.ZEROMV, (0, 0), int(np.abs(s - pr).sum()))]
+            ref_mv = (0, 0)
+        else:
+            # candidate MVs exactly as the decoder will derive them
+            # (read_inter_block_mode_info: tmp[refmv_count - 1] per mode)
+            mvl, cnt = mvref.dec_find_mv_refs(pst, xd, C.NEARESTMV,
+                                              C.LAST_FRAME, bsize,
+                                              mi_row, mi_col, -1)
+            mv_nearest = mvref.lower_mv_precision(mvl[cnt - 1], 0)
+            mvl, cnt = mvref.dec_find_mv_refs(pst, xd, C.NEARMV,
+                                              C.LAST_FRAME,
+                                              bsize, mi_row, mi_col, -1)
+            mv_near = mvref.lower_mv_precision(mvl[cnt - 1], 0)
+            mvl, _ = mvref.dec_find_mv_refs(pst, xd, C.NEWMV, C.LAST_FRAME,
+                                            bsize, mi_row, mi_col, -1)
+            ref_mv = mvref.lower_mv_precision(mvl[0], 0)
 
-        cands = [(C.ZEROMV, (0, 0), probe_sad((0, 0)))]
-        for m, mv in ((C.NEARESTMV, mv_nearest), (C.NEARMV, mv_near)):
-            if mv != (0, 0) and C.MV_LOW < mv[0] < C.MV_UPP \
-                    and C.MV_LOW < mv[1] < C.MV_UPP:
-                cands.append((m, mv, probe_sad(mv)))
-        if self.mode_search:
-            starts = [(0, 0), ((ref_mv[0] + 4) >> 3, (ref_mv[1] + 4) >> 3)]
-            fr, fcl, _, _ = full_pel_search(s, refY, cw, ch, x0, y0,
-                                            starts, sad_range=24,
-                                            lam=lam, pred_mv=ref_mv)
-            mv_new, _, nsad = subpel_refine(s, refY, cw, ch, x0, y0,
-                                            (fr, fcl), kernel, bd,
-                                            lam=lam, pred_mv=ref_mv)
-            if mv_new not in ((0, 0), mv_nearest, mv_near):
-                cands.append((C.NEWMV, mv_new,
-                              nsad + lam * mv_bits_estimate(mv_new,
-                                                            ref_mv)))
+            cands = [(C.ZEROMV, (0, 0), probe_sad((0, 0)))]
+            for m, mv in ((C.NEARESTMV, mv_nearest), (C.NEARMV, mv_near)):
+                if mv != (0, 0) and C.MV_LOW < mv[0] < C.MV_UPP \
+                        and C.MV_LOW < mv[1] < C.MV_UPP:
+                    cands.append((m, mv, probe_sad(mv)))
+            if self.mode_search:
+                starts = [(0, 0),
+                          ((ref_mv[0] + 4) >> 3, (ref_mv[1] + 4) >> 3)]
+                fr, fcl, _, _ = full_pel_search(s, refY, cw, ch, x0, y0,
+                                                starts, sad_range=24,
+                                                lam=lam, pred_mv=ref_mv)
+                mv_new, _, nsad = subpel_refine(s, refY, cw, ch, x0, y0,
+                                                (fr, fcl), kernel, bd,
+                                                lam=lam, pred_mv=ref_mv)
+                if mv_new not in ((0, 0), mv_nearest, mv_near):
+                    cands.append((C.NEWMV, mv_new,
+                                  nsad + lam * mv_bits_estimate(mv_new,
+                                                                ref_mv)))
         inter_mode, best_mv, inter_cost = min(cands, key=lambda t: t[2])
 
         y_mode = self._pick_mode(st, 0, mi_row, mi_col, bsize, bwl, bhl,
@@ -574,17 +635,25 @@ class Vp9Encoder:
                 # chroma positions are q4 of the half-res plane)
                 bw_px = n4_w * 4
                 bh_px = n4_h * 4
-                if best_mv == (0, 0):
+                pcw, pch = ref_crops[plane]
+                if ext_sf is not None:
+                    from ..ops.ref import recon as oracle_recon
+                    oracle_recon._mc_unit(
+                        recon, ref_planes[plane], pcw, pch, (0, 0), 0, 0,
+                        bw_px, bh_px, mi_col * 8, mi_row * 8,
+                        xd.mb_to_left_edge, xd.mb_to_top_edge,
+                        mb_to_right, mb_to_bottom, sx, sy, ext_sf, True,
+                        M.FILTER_KERNELS[pst.interp_filter], bd, 0)
+                elif best_mv == (0, 0):
                     recon[py0:py0 + bh_px, px0:px0 + bw_px] = _zeromv_pred(
-                        self._ref_recon[plane], st.crop_dims[plane],
+                        ref_planes[plane], ref_crops[plane],
                         px0, py0, bw_px, bh_px)
                 else:
                     srow = best_mv[0] * (1 << (1 - sy))
                     scol = best_mv[1] * (1 << (1 - sx))
-                    pcw, pch = st.crop_dims[plane]
                     recon[py0:py0 + bh_px, px0:px0 + bw_px] = \
                         inter_ops.convolve_block(
-                            self._ref_recon[plane], pcw, pch,
+                            ref_planes[plane], pcw, pch,
                             px0 + (scol >> 4), py0 + (srow >> 4),
                             scol & 15, srow & 15, 16, 16, bw_px, bh_px,
                             M.FILTER_KERNELS[pst.interp_filter], bd, None)

@@ -131,6 +131,10 @@ def main():
     # --- compound prediction (mixed sign bias; synthetic writer:
     # libvpx 1-pass CRF never emits alt-refs here) ---
     gen_compound("cp01_352x288_compound", 352, 288)
+    # --- spatial SVC superframes from the repo's own SVC encoder
+    # (2 layers, inter-layer scaled prediction, non-shown base frames);
+    # golden MD5s from the normative libvpx decoder ---
+    gen_svc("svc01_352x288_2l", 352, 288, 8)
     # --- profile 2, 10-bit ---
     gen("p2_01_176x144_10b", 176, 144, 8, ["gop=4", "crf=30", "cpu_used=2",
                                            "bitdepth=10", "profile=2"],
@@ -294,6 +298,36 @@ def gen_compound(name: str, w: int, h: int, seed: int = 11):
     run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
     print(f"  {name}: {len(open(ivf,'rb').read())} bytes, "
           f"{open(md5).read().count(chr(10))} frames")
+
+
+def gen_svc(name: str, w: int, h: int, n: int, seed: int = 7):
+    """Spatial-SVC fixture from the repo's own SVC encoder: superframes
+    of 2 layers, base layer non-shown, the top layer predicting
+    inter-layer from the scaled base reconstruction.  Golden MD5s from
+    the normative libavcodec decoder (which sees only shown frames)."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(ROOT))
+    from cuda_vp9_tpu.containers.ivf import IvfWriter
+    from cuda_vp9_tpu.encoder.svc import Vp9SvcEncoder
+    os.makedirs(FIXDIR, exist_ok=True)
+    raw = np.frombuffer(synth_video(w, h, n, seed=seed), np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    fsz = w * h + 2 * cw * ch
+    enc = Vp9SvcEncoder(w, h, n_layers=2, base_qindex=90, gop=4)
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    with open(ivf, "wb") as f:
+        wr = IvfWriter(f, b"VP90", w, h, 30, 1)
+        for i in range(n):
+            off = i * fsz
+            y = raw[off:off + w * h].reshape(h, w)
+            u = raw[off + w * h:off + w * h + cw * ch].reshape(ch, cw)
+            v = raw[off + w * h + cw * ch:off + fsz].reshape(ch, cw)
+            wr.write_frame(enc.encode_frame([y, u, v]), i)
+        wr.close()
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    sz = os.path.getsize(ivf)
+    print(f"  {name}: {sz} bytes, {n} superframes x 2 layers")
 
 
 def gen_vp8(name: str, w: int, h: int, n: int, enc_opts: list[str],
