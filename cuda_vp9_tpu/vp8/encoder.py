@@ -21,9 +21,9 @@ import numpy as np
 from ..encoder.bitwriter import BoolEncoder, tree_paths
 from . import recon as R
 from . import tables_gen as T
-from .decoder import (ALTREF, BC, BY, GOLDEN, INTRA, LAST, NEWMV, ZEROMV,
-                      Vp8Decoder, Vp8Header, _dequant_factors, _dq16,
-                      _KBANDS, _CAT_PROBS)
+from .decoder import (ALTREF, BC, BY, GOLDEN, INTRA, LAST, NEARESTMV,
+                      NEARMV, NEWMV, ZEROMV, Vp8Decoder, Vp8Header,
+                      _dequant_factors, _dq16, _KBANDS, _CAT_PROBS)
 
 DC_PRED, V_PRED, H_PRED, TM_PRED = 0, 1, 2, 3
 
@@ -590,6 +590,97 @@ class Vp8Encoder:
         return (-((c * 16) << 3) - M, ((mc - 1 - c) * 16 << 3) + M,
                 -((r * 16) << 3) - M, ((mr - 1 - r) * 16 << 3) + M)
 
+    # ---- MV writing (mirror of decoder._read_mvcomponent / _read_mv)
+
+    @staticmethod
+    def _write_mvcomponent(bw, v, p):
+        """v in 1/4-pel units; p = flat 19-prob context (mvc[comp])."""
+        a = abs(int(v))
+        assert a < 1024
+        if a >= 8:
+            bw.write(1, p[0])
+            for i in range(3):
+                bw.write((a >> i) & 1, p[9 + i])
+            for i in range(9, 3, -1):
+                bw.write((a >> i) & 1, p[9 + i])
+            if a & 0xFFF0:
+                bw.write((a >> 3) & 1, p[9 + 3])
+            # else bit 3 is implicit (a in 8..15)
+        else:
+            bw.write(0, p[0])
+            bw.write_tree(T.SMALL_MVTREE, p[2:9], _SMALL_MV_PATHS, a)
+        if a:
+            bw.write(1 if v < 0 else 0, p[1])
+
+    def _write_mv(self, bw, mv, best):
+        """Residual vs best_mv, components in 1/4 pel (decoder _read_mv
+        doubles them back to 1/8 pel)."""
+        dr = (mv[0] - best[0]) >> 1
+        dc = (mv[1] - best[1]) >> 1
+        self._write_mvcomponent(bw, dr, self._mvc[0])
+        self._write_mvcomponent(bw, dc, self._mvc[1])
+
+    _mvc = [list(T.DEFAULT_MV_CONTEXT[0][0]),
+            list(T.DEFAULT_MV_CONTEXT[1][0])]
+
+    def _search_newmv(self, ysrc, refY, r, c, best_mv, bounds):
+        """Diamond full-pel SAD search + quarter-pel refinement around
+        best_mv (vp8/encoder/mcomp.c's realtime subset).  Returns an
+        MV in 1/8-pel units (even components) inside `bounds`."""
+        lo_c, hi_c, lo_r, hi_r = bounds
+        y0, x0 = BY + r * 16, BY + c * 16
+        src = ysrc[r * 16:r * 16 + 16, c * 16:c * 16 + 16].astype(np.int64)
+
+        def inb(dr, dc):
+            # full-pel candidate must stay inside the UMV bounds (so
+            # the coded MV never needs the decoder's clamp) and the
+            # canvas border read margin
+            return (abs(dr) <= 24 and abs(dc) <= 24
+                    and lo_r <= dr * 8 <= hi_r and lo_c <= dc * 8 <= hi_c)
+
+        def sad_fullpel(dr, dc):
+            yy, xx = y0 + dr, x0 + dc
+            blk = refY[yy:yy + 16, xx:xx + 16]
+            if blk.shape != (16, 16):
+                return 1 << 40
+            return int(np.abs(src - blk.astype(np.int64)).sum())
+
+        cr, cc = (best_mv[0] + 4) >> 3, (best_mv[1] + 4) >> 3
+        cr = max(-24, min(24, cr))
+        cc = max(-24, min(24, cc))
+        best, best_sad = (0, 0), sad_fullpel(0, 0)
+        if inb(cr, cc) and sad_fullpel(cr, cc) < best_sad:
+            best, best_sad = (cr, cc), sad_fullpel(cr, cc)
+        step = 8
+        while step:
+            improved = True
+            while improved:
+                improved = False
+                for dr, dc in ((-step, 0), (step, 0), (0, -step),
+                               (0, step)):
+                    cand = (best[0] + dr, best[1] + dc)
+                    if not inb(*cand):
+                        continue
+                    sc = sad_fullpel(*cand)
+                    if sc < best_sad:
+                        best, best_sad, improved = cand, sc, True
+            step >>= 1
+        # quarter-pel refinement with the normative 6-tap filters
+        from .decoder import _predict_inter
+        bq = (best[0] * 8, best[1] * 8)
+        best_q, bq_sad = bq, None
+        for dr in (-2, 0, 2):
+            for dc in (-2, 0, 2):
+                cand = (bq[0] + dr, bq[1] + dc)
+                if not (lo_r <= cand[0] <= hi_r
+                        and lo_c <= cand[1] <= hi_c):
+                    continue
+                pred = _predict_inter(refY, y0, x0, cand, 16, 16, True)
+                sc = int(np.abs(src - pred.astype(np.int64)).sum())
+                if bq_sad is None or sc < bq_sad:
+                    best_q, bq_sad = cand, sc
+        return best_q, bq_sad if bq_sad is not None else best_sad
+
     def _encode_interframe(self, y, u, v) -> bytes:
         mr, mc = self.mb_rows, self.mb_cols
         hdr = self._make_header(False)
@@ -611,32 +702,98 @@ class Vp8Encoder:
         loop.mb_rows, loop.mb_cols = mr, mc
         loop.seg_map = np.zeros((mr, mc), np.int32)
 
+        clamp_arr = np.zeros((mr, mc), bool)
+        M = 16 << 3
         mbs = []
         for r in range(mr):
             for c in range(mc):
                 near, cnt, nmv_i = self._find_near_mvs(
                     r, c, ref_frame, mode_arr, mvs)
-                # ZEROMV-only v1: predict from LAST at (0,0)
+                mb_to_top = -((r * 16) << 3)
+                mb_to_bottom = ((mr - 1 - r) * 16) << 3
+                mb_to_left = -((c * 16) << 3)
+                mb_to_right = ((mc - 1 - c) * 16) << 3
+                bounds = (mb_to_left - M, mb_to_right + M,
+                          mb_to_top - M, mb_to_bottom + M)
+                # candidate post-merge near MVs exactly as the decoder
+                # derives them (decoder:608-621)
+                cnt2 = list(cnt)
+                nearm = [tuple(near[i]) for i in range(4)]
+                cnt2[1] += (1 if (cnt2[3] > 0
+                                  and nearm[nmv_i] == nearm[1]) else 0)
+                if cnt2[2] > cnt2[1]:
+                    cnt2[1], cnt2[2] = cnt2[2], cnt2[1]
+                    nearm[1], nearm[2] = nearm[2], nearm[1]
+                from .decoder import _clamp_mv, _predict_inter
+                mv_nearest = _clamp_mv(nearm[1], *bounds)
+                mv_near = _clamp_mv(nearm[2], *bounds)
+                near_index = 1 if cnt2[1] >= cnt2[0] else 0
+                best_ref = _clamp_mv(nearm[near_index], *bounds)
+
                 y0, x0 = BY + r * 16, BY + c * 16
+                src16 = ysrc[r * 16:r * 16 + 16,
+                             c * 16:c * 16 + 16].astype(np.int64)
+
+                def mv_sad(mv):
+                    pred = _predict_inter(refY, y0, x0, mv, 16, 16, True)
+                    return int(np.abs(src16 - pred.astype(np.int64)).sum())
+
+                cands = [(ZEROMV, (0, 0), mv_sad((0, 0)))]
+                if mv_nearest != (0, 0):
+                    cands.append((NEARESTMV, mv_nearest,
+                                  mv_sad(mv_nearest) + 96))
+                if mv_near not in ((0, 0), mv_nearest):
+                    cands.append((NEARMV, mv_near, mv_sad(mv_near) + 160))
+                mv_new, new_sad = self._search_newmv(
+                    ysrc, refY, r, c, best_ref, bounds)
+                # NEWMV residual components must fit the 10-bit coder
+                if mv_new not in ((0, 0), mv_nearest, mv_near) \
+                        and abs((mv_new[0] - best_ref[0]) >> 1) < 1024 \
+                        and abs((mv_new[1] - best_ref[1]) >> 1) < 1024:
+                    cands.append((NEWMV, mv_new, new_sad + 320))
+                mb_mode, mb_mv, _ = min(cands, key=lambda t: t[2])
+
                 cy, cx = BC + r * 8, BC + c * 8
-                predY = refY[y0:y0 + 16, x0:x0 + 16]
-                predU = refU[cy:cy + 8, cx:cx + 8]
-                predV = refV[cy:cy + 8, cx:cx + 8]
+                if mb_mode == ZEROMV:
+                    predY = refY[y0:y0 + 16, x0:x0 + 16]
+                    predU = refU[cy:cy + 8, cx:cx + 8]
+                    predV = refV[cy:cy + 8, cx:cx + 8]
+                else:
+                    # prediction + chroma MV derivation mirror
+                    # _recon_inter_mb's non-split path exactly
+                    # (decoder:1034-1048; rounded halving, no fp mask)
+                    from .decoder import _trunc_div
+                    predY = _predict_inter(refY, y0, x0, mb_mv, 16, 16,
+                                           True)
+                    uvr = _trunc_div(mb_mv[0]
+                                     + (1 if mb_mv[0] >= 0 else -1), 2)
+                    uvc = _trunc_div(mb_mv[1]
+                                     + (1 if mb_mv[1] >= 0 else -1), 2)
+                    predU = _predict_inter(refU, cy, cx, (uvr, uvc),
+                                           8, 8, True)
+                    predV = _predict_inter(refV, cy, cx, (uvr, uvc),
+                                           8, 8, True)
                 coeffs, eobs, skip = self._code_mb_residual(
-                    hdr, ysrc, usrc, vsrc, Y, U, V, r, c, ZEROMV, 0,
+                    hdr, ysrc, usrc, vsrc, Y, U, V, r, c, mb_mode, 0,
                     predY, predU, predV)
+                # every candidate is inside the UMV bounds by
+                # construction, so the decoder's NEWMV clamp check
+                # (decoder:641-644) always comes out False
+                clamp_arr[r, c] = False
                 mi = dict(ref_frame=ref_frame, mode=mode_arr, mvs=mvs,
                           bmvs=np.zeros((mr, mc, 16, 2), np.int32),
-                          clamp=np.zeros((mr, mc), bool))
+                          clamp=clamp_arr)
                 ref_frame[r + 1, c + 1] = LAST
-                mode_arr[r + 1, c + 1] = ZEROMV
-                mvs[r + 1, c + 1] = 0
+                mode_arr[r + 1, c + 1] = mb_mode
+                mvs[r + 1, c + 1] = mb_mv
                 loop.hdr = hdr
-                loop._recon_inter_mb(Y, U, V, hdr, mi, r, c, ZEROMV, 0,
+                loop._recon_inter_mb(Y, U, V, hdr, mi, r, c, mb_mode, 0,
                                      bool(skip),
                                      coeffs.astype(np.int32), eobs,
                                      True, ~0)
-                mbs.append((cnt[0], coeffs, eobs, skip))
+                mbs.append((dict(cnt=cnt, cnt2=cnt2, mode=mb_mode,
+                                 mv=mb_mv, best_ref=best_ref),
+                            coeffs, eobs, skip))
             y0r, y1r = BY + r * 16, BY + (r + 1) * 16
             Y[y0r:y1r, BY + mc * 16:] = Y[y0r:y1r,
                                           BY + mc * 16 - 1:BY + mc * 16]
@@ -662,11 +819,28 @@ class Vp8Encoder:
             up = T.MV_UPDATE_PROBS[comp][0]
             for i in range(19):
                 bc1.write(0, up[i])
-        for (cnt0, _, _, skip) in mbs:
+        for (info, _, _, skip) in mbs:
             bc1.write(1 if skip else 0, hdr.prob_skip_false)
             bc1.write(1, hdr.prob_intra)       # inter MB
             bc1.write(0, hdr.prob_last)        # ref = LAST
-            bc1.write(0, T.MODE_CONTEXTS[cnt0][0])  # ZEROMV
+            cnt, cnt2 = info["cnt"], info["cnt2"]
+            mode = info["mode"]
+            if mode == ZEROMV:
+                bc1.write(0, T.MODE_CONTEXTS[cnt[0]][0])
+                continue
+            bc1.write(1, T.MODE_CONTEXTS[cnt[0]][0])
+            if mode == NEARESTMV:
+                bc1.write(0, T.MODE_CONTEXTS[cnt2[1]][1])
+                continue
+            bc1.write(1, T.MODE_CONTEXTS[cnt2[1]][1])
+            if mode == NEARMV:
+                bc1.write(0, T.MODE_CONTEXTS[cnt2[2]][2])
+                continue
+            bc1.write(1, T.MODE_CONTEXTS[cnt2[2]][2])
+            # NEWMV (never SPLITMV: cnt[3] context is the neighbors'
+            # SPLITMV count, which this encoder never codes -> 0)
+            bc1.write(0, T.MODE_CONTEXTS[0][3])
+            self._write_mv(bc1, info["mv"], info["best_ref"])
         first_part = bc1.stop()
 
         bc2 = BoolEncoder(marker=False)

@@ -103,6 +103,42 @@ def test_vp8_static_scene_skips():
     assert _psnr(y, dy) >= 38
 
 
+def test_vp8_newmv_beats_zeromv():
+    """Panning content: the diamond search must engage (NEWMV coded)
+    and beat a ZEROMV/NEAR-only encode by a wide bitrate margin, while
+    staying bit-exact in-loop."""
+    rng = np.random.default_rng(9)
+    w, h, pad = 176, 144, 40
+    base = rng.integers(0, 256, (h + pad, w + pad)).astype(np.uint8)
+    base = ((base.astype(np.int32) + np.roll(base, 1, 0)
+             + np.roll(base, 1, 1) + np.roll(base, -1, 0)) // 4
+            ).astype(np.uint8)
+
+    def mk(t, dx=3, dy=2):
+        y = base[t * dy:t * dy + h, t * dx:t * dx + w].copy()
+        u = np.full(((h + 1) // 2, (w + 1) // 2), 120, np.uint8)
+        v = np.full(((h + 1) // 2, (w + 1) // 2), 130, np.uint8)
+        return y, u, v
+
+    def run(search):
+        enc = Vp8Encoder(w, h, qindex=24)
+        if not search:
+            enc._search_newmv = lambda *a, **k: ((0, 0), 1 << 40)
+        dec = Vp8Decoder()
+        sizes = []
+        for t in range(4):
+            yy, uu, vv = mk(t)
+            p = enc.encode((yy, uu, vv))
+            dy, _, _ = dec.decode(p)[1]
+            eY = enc.refs[LAST][0]
+            assert np.array_equal(dy, eY[BY:BY + h, BY:BY + w])
+            sizes.append(len(p))
+        return sizes
+
+    s_mv, s_zmv = run(True), run(False)
+    assert sum(s_mv[1:]) < 0.7 * sum(s_zmv[1:]), (s_mv, s_zmv)
+
+
 def test_vp8_rate_control_converges():
     enc = Vp8Encoder(176, 144, qindex=60, bitrate_kbps=200, fps=30,
                      filter_level=10)
