@@ -314,7 +314,10 @@ class Vp9Encoder:
         if not self.show_frame:
             wb.write_bit(0)          # intra_only = 0 (coded only when
             #                          the frame is not shown)
-        wb.f(1 << self.refresh_slot, 8)  # refresh_frame_flags
+        # refresh_frame_flags (refresh_slot None = refresh nothing:
+        # temporal-layer frames that no later frame references)
+        wb.f(0 if self.refresh_slot is None else 1 << self.refresh_slot,
+             8)
         for _ in range(C.REFS_PER_FRAME):
             wb.f(self.ref_slot, C.REF_FRAMES_LOG2)
             wb.write_bit(0)              # sign bias

@@ -1,0 +1,134 @@
+"""End-to-end drives of the examples/ suite (libvpx examples parity:
+simple_decoder.c, simple_encoder.c, vp9_lossless_encoder.c,
+decode_with_drops.c, vpx_temporal_svc_encoder.c)."""
+
+import hashlib
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from cuda_vp9_tpu.containers import IvfReader
+from cuda_vp9_tpu.decoder.frame import NativeVp9Decoder
+
+from conftest import FIXTURES, ORACLE_BIN, build_oracle_or_skip
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+
+def _run(script, *args):
+    r = subprocess.run([sys.executable, str(EXAMPLES / script),
+                        *map(str, args)], capture_output=True, text=True,
+                       timeout=900)
+    assert r.returncode == 0, f"{script}: {r.stderr[-2000:]}"
+    return r.stderr
+
+
+def _make_yuv(tmp_path, w, h, n, seed=5):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    path = tmp_path / "src.yuv"
+    frames = []
+    with open(path, "wb") as f:
+        for t in range(n):
+            y = ((128 + 60 * np.sin((xx + 2 * t) / 15.0)
+                  + 40 * np.cos(yy / 9.0))).clip(0, 255).astype(np.uint8)
+            u = np.full(((h + 1) // 2, (w + 1) // 2), 120, np.uint8)
+            v = np.full(((h + 1) // 2, (w + 1) // 2), 135, np.uint8)
+            f.write(y.tobytes() + u.tobytes() + v.tobytes())
+            frames.append((y, u, v))
+    return path, frames
+
+
+def test_simple_decoder_matches_golden(tmp_path):
+    ivf = FIXTURES / "in01_176x144.ivf"
+    out = tmp_path / "out.yuv"
+    _run("simple_decoder.py", ivf, out)
+    golden = [line.split()[0] for line in
+              (FIXTURES / "in01_176x144.md5").read_text().splitlines()]
+    data = out.read_bytes()
+    fsz = 176 * 144 + 2 * 88 * 72
+    assert len(data) == fsz * len(golden)
+    for i in range(len(golden)):
+        assert hashlib.md5(data[i * fsz:(i + 1) * fsz]).hexdigest() \
+            == golden[i], f"frame {i}"
+
+
+def test_simple_encoder_roundtrip(tmp_path):
+    w, h, n = 96, 80, 4
+    yuv, _ = _make_yuv(tmp_path, w, h, n)
+    ivf = tmp_path / "enc.ivf"
+    _run("simple_encoder.py", w, h, yuv, ivf, 40)
+    build_oracle_or_skip()
+    md5 = tmp_path / "n.md5"
+    r = subprocess.run([ORACLE_BIN, "decode", str(ivf), str(md5)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert len(md5.read_text().splitlines()) == n
+
+
+def test_lossless_encoder_is_lossless(tmp_path):
+    w, h, n = 64, 48, 2
+    yuv, frames = _make_yuv(tmp_path, w, h, n)
+    ivf = tmp_path / "ll.ivf"
+    _run("vp9_lossless_encoder.py", w, h, yuv, ivf)
+    dec = NativeVp9Decoder()
+    got = []
+    with IvfReader(str(ivf)) as r:
+        for pkt, _ in r:
+            dec.decode(pkt)
+            got.extend(dec.frames())
+    assert len(got) == n
+    for t, fr in enumerate(got):
+        pl = fr.visible_planes()
+        for a, b in zip(pl, frames[t]):
+            assert np.array_equal(np.asarray(a, np.uint8), b), \
+                f"frame {t} not lossless"
+
+
+def test_temporal_svc_and_drops(tmp_path):
+    """TL1 frames refresh nothing: dropping every odd packet must
+    decode cleanly and reproduce the SAME pixels for TL0 frames."""
+    w, h, n = 96, 80, 8
+    yuv, _ = _make_yuv(tmp_path, w, h, n)
+    ivf = tmp_path / "tsvc.ivf"
+    _run("vpx_temporal_svc_encoder.py", w, h, yuv, ivf)
+    with IvfReader(str(ivf)) as r:
+        pkts = [d for d, _ in r]
+    assert len(pkts) == n
+
+    def decode(packets):
+        dec = NativeVp9Decoder()
+        out = []
+        for p in packets:
+            dec.decode(p)
+            for fr in dec.frames():
+                m = hashlib.md5()
+                for x in fr.visible_planes():
+                    m.update(np.ascontiguousarray(x)
+                             .astype(np.uint8).tobytes())
+                out.append(m.hexdigest())
+        return out
+
+    full = decode(pkts)
+    base_only = decode(pkts[0::2])     # drop all TL1 packets
+    assert len(full) == n and len(base_only) == n // 2
+    assert base_only == full[0::2], "TL0 frames changed when TL1 dropped"
+    # the normative decoder agrees on the full stream
+    build_oracle_or_skip()
+    md5 = tmp_path / "n.md5"
+    r = subprocess.run([ORACLE_BIN, "decode", str(ivf), str(md5)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    norm = [line.split()[0] for line in md5.read_text().splitlines()]
+    assert full == norm
+
+
+def test_decode_with_drops_cli(tmp_path):
+    ivf = FIXTURES / "kf02_176x144.ivf"   # all-keyframe: drops are safe
+    out = tmp_path / "out.yuv"
+    _run("decode_with_drops.py", ivf, out, "2-3")
+    fsz = 176 * 144 + 2 * 88 * 72
+    assert len(out.read_bytes()) == 3 * fsz   # 5 frames - 2 dropped
