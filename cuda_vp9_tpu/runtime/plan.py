@@ -355,8 +355,11 @@ def build_intra_units(plan: FramePlan) -> Tuple[List[IntraUnit], int]:
                     wave = w + 1
                     if wave > num_waves:
                         num_waves = wave
-                    fill = [wave] * step
-                    for yy in range(y4, y4 + step):
+                    # clip to the frame's 4x4 extent: a straddling tx
+                    # block's OOB cells are never read (reads clip),
+                    # and writing them walks off the map
+                    fill = [wave] * min(step, W4 - x4)
+                    for yy in range(y4, min(y4 + step, H4)):
                         wmap[yy][x4:x4 + step] = fill
                     units.append(IntraUnit(
                         plane, x4 * 4, y4 * 4, 4 << tx, mode,

@@ -8,6 +8,7 @@ frame buffer."""
 
 import pathlib
 import subprocess
+import sys
 
 import pytest
 
@@ -47,3 +48,50 @@ def test_asan_truncation_sweep(asan_binary, tmp_path, name):
     assert res.returncode == 0, \
         f"ASAN sweep failed:\n{res.stdout}\n{res.stderr[-4000:]}"
     assert "OK" in res.stdout
+
+
+@pytest.fixture(scope="module")
+def asan_so(tmp_path_factory):
+    """libvp9host.so built with AddressSanitizer (loaded via ctypes in
+    a subprocess with libasan preloaded)."""
+    out = tmp_path_factory.mktemp("asan_so") / "libvp9host.so"
+    subprocess.check_call(
+        ["g++", "-O1", "-g", "-shared", "-fPIC", "-pthread",
+         "-fsanitize=address", "-fno-omit-frame-pointer",
+         "-o", str(out), str(NATIVE / "vp9host.cpp")])
+    libasan = subprocess.check_output(
+        ["g++", "-print-file-name=libasan.so"], text=True).strip()
+    return out, libasan
+
+
+@pytest.mark.parametrize("case", [(2, 5), (1, 2), (3, 9), (4, 0)])
+def test_asan_bitflip_pack_sweep(asan_so, tmp_path, case):
+    """Bitflipped-but-parseable streams must drive the native PACKER
+    without any out-of-bounds access (this caught a heap overflow in
+    the intra wave-map fill for tx blocks straddling the frame edge).
+    Runs in a subprocess: the instrumented .so is staged over the
+    production one via a bind-style copy in a temp package view."""
+    import os
+    import shutil
+    so, libasan = asan_so
+    fix = {s[0]: s for s in fixture_streams()}
+    _, ivf, _ = fix["in01_176x144"]
+    # stage the instrumented library where the package loads it from,
+    # restore afterwards (subprocess-only; the production .so returns)
+    prod = NATIVE / "libvp9host.so"
+    backup = tmp_path / "prod.so"
+    shutil.copy2(prod, backup)
+    shutil.copy2(so, prod)
+    try:
+        env = dict(os.environ, LD_PRELOAD=libasan,
+                   ASAN_OPTIONS="detect_leaks=0",
+                   PYTHONPATH=str(HERE.parent))
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run(
+            [sys.executable, str(HERE / "fuzz_pack_worker.py"),
+             str(ivf), str(case[0]), str(case[1])],
+            capture_output=True, text=True, timeout=600, env=env)
+        assert r.returncode == 0 and "ok" in r.stdout, \
+            (r.stdout[-500:], r.stderr[-3000:])
+    finally:
+        shutil.copy2(backup, prod)

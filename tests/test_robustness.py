@@ -114,3 +114,40 @@ def test_show_existing_of_empty_slot_is_error():
     dec = Vp9Decoder()
     with pytest.raises((BitstreamError, ValueError)):
         dec.decode(bytes([0x88, 0x00]))
+
+
+@pytest.mark.parametrize("codec", ["vp9", "vp8"])
+def test_bitflip_sweep_never_crashes(codec):
+    """decode_corrupted.cc / invalid_file_test.cc analog: single-bit
+    flips at positions across every packet of a real stream must either
+    decode (possibly to different pixels) or raise a clean codec error —
+    never crash, hang, or corrupt the process.  The same decoder
+    instance keeps accepting input afterwards (need_resync semantics)."""
+    from cuda_vp9_tpu.codec import vp8_dx, vpx_codec_get_frame, FrameIter
+    name = "in01_176x144" if codec == "vp9" else None
+    if codec == "vp8":
+        from conftest import fixture_streams
+        name = fixture_streams(codec="vp8")[2][0]   # an inter stream
+        pkts_all = None
+    _, ivf, _ = (FIX[name] if codec == "vp9" else
+                 {s[0]: s for s in fixture_streams(codec="vp8")}[name])
+    with IvfReader(str(ivf)) as r:
+        pkts = [d for d, _ in r][:6]
+    iface = vp9_dx() if codec == "vp9" else vp8_dx()
+    rng_positions = [0, 1, 2, 5, 9]
+    for pi in range(len(pkts)):
+        for pos_frac in rng_positions:
+            ctx = CodecCtx()
+            assert vpx_codec_dec_init(ctx, iface, DecCfg()) == VPX_CODEC_OK
+            for i, p in enumerate(pkts):
+                if i == pi:
+                    pos = min(len(p) - 1,
+                              pos_frac * max(1, len(p) // 10))
+                    p = p[:pos] + bytes([p[pos] ^ 0x40]) + p[pos + 1:]
+                vpx_codec_decode(ctx, p)      # any status is fine
+                it = FrameIter()
+                while vpx_codec_get_frame(ctx, it) is not None:
+                    pass
+            # the instance must still accept a clean keyframe restart
+            assert vpx_codec_decode(ctx, pkts[0]) in (
+                VPX_CODEC_OK, 7)   # OK or CORRUPT_FRAME(7) post-damage
