@@ -46,9 +46,41 @@ def _gen_stream(w, h, frames):
         return None
 
 
+def _device_watchdog(
+        patience_s: float = float(os.environ.get("BENCH_DEVICE_PATIENCE",
+                                                 "900"))) -> bool:
+    """The axon TPU tunnel initializes inside jax device init with no
+    timeout; when the remote pool is unreachable the whole process
+    hangs.  Probe device init in a subprocess with a deadline so the
+    bench either runs on the real device or reports the outage
+    honestly instead of hanging the driver."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('up')"],
+            capture_output=True, text=True, timeout=patience_s)
+        return "up" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     size = os.environ.get("BENCH_SIZE", "640x360")
     bw, bh = (int(v) for v in size.split("x"))
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _device_watchdog():
+        # tunnel down: re-exec without the axon sitecustomize hook (it
+        # already registered at interpreter start) so the run still
+        # terminates on the CPU backend; the metric name marks the
+        # outage
+        print("# axon tunnel unreachable: benching on the CPU backend",
+              file=sys.stderr)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["_BENCH_TUNNEL_DOWN"] = "1"
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
     stream = _gen_stream(bw, bh, int(os.environ.get("BENCH_FRAMES", "150")))
     if stream is None:
         stream = os.path.join(REPO, "tests", "fixtures", "tl01_640x360_t2.ivf")
@@ -90,8 +122,10 @@ def main():
               f"h2d={recon._t_h2d:.2f}s step={recon._t_step:.2f}s",
               file=sys.stderr)
     target = NORTH_STAR_PIXRATE / (w * h)
+    suffix = "_TUNNEL_DOWN_cpu" if os.environ.get("_BENCH_TUNNEL_DOWN") \
+        else ""
     print(json.dumps({
-        "metric": f"decode_fps_{w}x{h}",
+        "metric": f"decode_fps_{w}x{h}{suffix}",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / target, 5),
