@@ -84,6 +84,10 @@ class _PackIn(ct.Structure):
         ("crop", ((ct.c_int32 * 2) * 3) * 3),
         ("highbd", ct.c_int32),
         ("coeffh_off", ct.c_int64 * 7),
+        # scaled-reference "mcs" class (tier "scaled"; mcs_cap 0 = absent)
+        ("mcs_off", ct.c_int64), ("mcsh_off", ct.c_int64),
+        ("mcs_cap", ct.c_int64),
+        ("pool_ha", ct.c_int32), ("pad0", ct.c_int32),
     ]
 
 
@@ -101,9 +105,14 @@ def build_library(force: bool = False) -> str:
             and all(os.path.getmtime(_SO) > os.path.getmtime(s)
                     for s in srcs)):
         return _SO
+    # compile to a private temp path + atomic rename: concurrent
+    # builders (subprocess tests import the package in parallel) must
+    # never dlopen a half-written .so
+    tmp = f"{_SO}.build.{os.getpid()}"
     subprocess.check_call(
         ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-Wall",
-         "-Wno-unused-function", "-o", _SO, _SRC])
+         "-Wno-unused-function", "-o", tmp, _SRC])
+    os.replace(tmp, _SO)
     return _SO
 
 
@@ -214,9 +223,15 @@ class NativeParser:
             self._h = None
 
     def _packin(self, caps, layout, lossless, mi_rows):
-        """Static-per-layout PackIn template (crop/slot filled per call)."""
+        """Static-per-layout PackIn template (crop/slot filled per call).
+
+        The cache entry holds the LAYOUT reference too: keyed by
+        id(layout) alone, a garbage-collected layout would let a new
+        object reuse the id and pick up stale offsets — heap corruption
+        in the C++ packer (caught by the scaled-pack ASAN fuzz)."""
         key = id(layout)
-        pi = self._packin_cache.get(key)
+        hit = self._packin_cache.get(key)
+        pi = hit[1] if hit is not None and hit[0] is layout else None
         if pi is None:
             from ..ops.pallas.loopfilter import K as LF_K
             pi = _PackIn()
@@ -238,25 +253,31 @@ class NativeParser:
                 pi.mc_off[i] = layout.segs[name][0]
                 pi.mch_off[i] = layout.segs[name + "h"][0]
                 pi.mc_cap[i] = caps[name]
+            if "mcs" in layout.segs:
+                pi.mcs_off = layout.segs["mcs"][0]
+                pi.mcsh_off = layout.segs["mcsh"][0]
+                pi.mcs_cap = caps["mcs"]
             pi.intra_off = layout.segs["intra"][0]
             pi.chunkbs_off = layout.segs["chunk_bs"][0]
             pi.intra_cap = caps["intra"]
             pi.mimask_off = layout.segs["mi_mask"][0]
             pi.lfm_off = layout.segs["lfm"][0]
             pi.misc_off = layout.segs["misc"][0]
-            self._packin_cache[key] = pi
+            self._packin_cache[key] = (layout, pi)
         return pi
 
-    def pack(self, plan, refs, caps, layout, ring_slot=0):
+    def pack(self, plan, refs, caps, layout, ring_slot=0, pool_ha=None):
         """Pack the MOST RECENTLY PARSED frame (must be `plan`) into a
         fresh flat int16 buffer entirely in C++ (mirrors
-        runtime/pack.pack_frame byte-for-byte).  Returns None on
-        tight-tier overflow (caller falls back to the host oracle)."""
+        runtime/pack.pack_frame byte-for-byte, including the scaled-
+        reference mcs class).  Returns None on tier overflow (caller
+        falls back to the host oracle)."""
         assert plan is self._last_plan, \
             "native pack must run on the parser's live state"
         hdr = plan.hdr
         pi = self._packin(caps, layout, bool(hdr.lossless), hdr.mi_rows)
         pi.ring_slot = ring_slot
+        pi.pool_ha = int(pool_ha or 0)
         for k in (1, 2, 3):
             rb = refs.get(k) if refs else None
             for p in range(3):

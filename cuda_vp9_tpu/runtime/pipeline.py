@@ -438,14 +438,14 @@ class TpuReconFused:
         frame_geom = (ha, wa)
 
         def pack_with(caps, layout):
-            if nparser is not None and tier != "scaled" \
-                    and pool_geom == frame_geom:
+            if nparser is not None:
                 # single-pass C++ packer on the parser's live state
-                # (scaled frames and enlarged pools take the Python
-                # packer: the C++ mirror predates the mcs class and
-                # pool-decoupled band geometry)
-                return nparser.pack(plan, refs, caps, layout,
-                                    ring_slot=slot)
+                # (incl. the scaled-reference mcs class; band geometry
+                # spans the pool canvas when it exceeds the frame)
+                return nparser.pack(
+                    plan, refs, caps, layout, ring_slot=slot,
+                    pool_ha=(pool_geom[0]
+                             if pool_geom != frame_geom else None))
             f = self.pack.pack_frame(plan, refs, caps, layout,
                                      pool_ha=pool_geom[0])
             if f is not None:

@@ -25,13 +25,25 @@ def _eligible(hdr, refs):
     if hdr.bit_depth not in (8, 10, 12) or hdr.subsampling_x != 1 \
             or hdr.subsampling_y != 1:
         return False
+    return True
+
+
+def _scaled(hdr, refs):
+    return not hdr.frame_is_intra_only and any(
+        rb is not None and (rb.width != hdr.width
+                            or rb.height != hdr.height)
+        for rb in refs.values())
+
+
+def _pool_ha(hdr, refs):
+    """Pool canvas height as pipeline._pool_geom_for computes it."""
+    pha = ((hdr.mi_rows + 7) & ~7) * 8
     if not hdr.frame_is_intra_only:
         for rb in refs.values():
-            if rb is None:
-                continue
-            if rb.width != hdr.width or rb.height != hdr.height:
-                return False
-    return True
+            if rb is not None:
+                mi = (rb.height + 7) // 8
+                pha = max(pha, ((mi + 7) & ~7) * 8)
+    return pha
 
 
 @pytest.mark.parametrize("name,ivf,md5", fixture_streams(),
@@ -42,15 +54,24 @@ def test_native_pack_matches_python(name, ivf, md5):
     def recon(plan, refs):
         hdr = plan.hdr
         if _eligible(hdr, refs) and compared[0] < MAX_FRAMES:
-            tier = "full" if hdr.frame_is_intra_only else "tight"
-            _, caps, layout = fused.get_frame_step(
-                hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless),
-                bd=hdr.bit_depth)
-            want = pack.pack_frame(plan, refs, caps, layout)
+            scaled = _scaled(hdr, refs)
+            pha = _pool_ha(hdr, refs)
+            frame_ha = ((hdr.mi_rows + 7) & ~7) * 8
+            if scaled:
+                tier = "scaled"
+            else:
+                tier = "full" if hdr.frame_is_intra_only else "tight"
+            caps = pack.compute_caps(hdr.mi_rows, hdr.mi_cols, tier,
+                                     bool(hdr.lossless), pool_ha=pha)
+            layout = pack.build_layout(caps, hdr.mi_rows, hdr.mi_cols,
+                                       bool(hdr.lossless),
+                                       bd=hdr.bit_depth)
+            want = pack.pack_frame(plan, refs, caps, layout, pool_ha=pha)
             if want is not None:
                 layout.view(want, "misc")[13] = 7
-            got = plan.native_parser.pack(plan, refs, caps, layout,
-                                          ring_slot=7)
+            got = plan.native_parser.pack(
+                plan, refs, caps, layout, ring_slot=7,
+                pool_ha=pha if pha != frame_ha else None)
             if want is None or got is None:
                 assert (want is None) == (got is None), \
                     f"{name}: overflow behavior diverges"

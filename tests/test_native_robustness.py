@@ -77,11 +77,15 @@ def test_asan_bitflip_pack_sweep(asan_so, tmp_path, case):
     fix = {s[0]: s for s in fixture_streams()}
     _, ivf, _ = fix["in01_176x144"]
     # stage the instrumented library where the package loads it from,
-    # restore afterwards (subprocess-only; the production .so returns)
+    # restore afterwards.  MUST be an atomic rename, never a copy-over:
+    # copy2 truncates the existing inode, corrupting the mapping any
+    # already-loaded CDLL in THIS process points at (segfaults later)
     prod = NATIVE / "libvp9host.so"
     backup = tmp_path / "prod.so"
     shutil.copy2(prod, backup)
-    shutil.copy2(so, prod)
+    stage = NATIVE / f".asan_stage.{os.getpid()}"
+    shutil.copy2(so, stage)
+    os.replace(stage, prod)
     try:
         env = dict(os.environ, LD_PRELOAD=libasan,
                    ASAN_OPTIONS="detect_leaks=0",
@@ -94,4 +98,6 @@ def test_asan_bitflip_pack_sweep(asan_so, tmp_path, case):
         assert r.returncode == 0 and "ok" in r.stdout, \
             (r.stdout[-500:], r.stderr[-3000:])
     finally:
-        shutil.copy2(backup, prod)
+        stage = NATIVE / f".asan_restore.{os.getpid()}"
+        shutil.copy2(backup, stage)
+        os.replace(stage, prod)
