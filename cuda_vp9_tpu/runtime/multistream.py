@@ -270,6 +270,18 @@ class BatchedFusedDecoder:
         from ..ops.ref import recon as ref_recon
         np = self.np
         hdr = plan.hdr
+        if self._geom is not None:
+            wa = ((hdr.mi_cols + 7) & ~7) * 8
+            ha = ((hdr.mi_rows + 7) & ~7) * 8
+            if (ha, wa, hdr.bit_depth) != self._geom:
+                # mid-stream resize in ONE stream must not kill the
+                # batch: that stream's frame takes the host oracle (its
+                # slots re-sync lazily when the geometry returns)
+                planes = ref_recon.reconstruct_frame(plan, refs)
+                for i in range(8):
+                    if hdr.refresh_frame_flags & (1 << i):
+                        self._slot_dirty[s][i] = True
+                return planes
         if self._geom is not None \
                 and bool(hdr.lossless) != self._lossless:
             # per-frame lossless flips need a different step layout:

@@ -93,3 +93,33 @@ def test_batched_mixed_streams():
     for s in range(2):
         assert got[s] == goldens[s][:len(got[s])], f"stream {s}"
         assert len(got[s]) == len(goldens[s][:4])
+
+
+@pytest.mark.slow
+def test_batched_geometry_change_survives():
+    """A mid-stream resize in ONE stream must not kill the batch: the
+    odd-geometry frames take the host oracle while the other streams
+    stay on the batched device path, all bit-exact."""
+    from cuda_vp9_tpu.runtime.multistream import BatchedFusedDecoder
+
+    names = ["in02_352x288", "sc01_352x288_scaled"]  # sc01 resizes
+    packets, goldens = [], []
+    for nm in names:
+        _, ivf, md5 = FIX[nm]
+        with IvfReader(str(ivf)) as r:
+            packets.append([d for d, _ in r][:6])
+        goldens.append([line.split()[0]
+                        for line in md5.read_text().splitlines()][:6])
+
+    bd = BatchedFusedDecoder(n_streams=2)
+    rounds = max(len(p) for p in packets)
+    for i in range(rounds):
+        bd.decode_round([p[i] if i < len(p) else None for p in packets])
+    got = [[], []]
+    for s, fr in bd.drain():
+        got[s].append(frame_md5(fr.visible_planes()))
+    for s in range(2):
+        assert got[s] == goldens[s][:len(got[s])], f"stream {s}"
+        assert len(got[s]) == len(goldens[s][:6])
+    assert bd.recons[0].frames_on_device > 0
+    assert bd.recons[1].frames_on_host > 0   # resized frames fell back
