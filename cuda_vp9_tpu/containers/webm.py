@@ -279,3 +279,109 @@ class WebmReader:
 
     def __exit__(self, *a):
         self.close()
+
+
+# ------------------------------------------------------------------ mux
+
+def _enc_id(eid: int) -> bytes:
+    n = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(n, "big")
+
+
+def _enc_size(n: int) -> bytes:
+    """EBML vint size with the length marker in the top bits."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def _elem(eid: int, body: bytes) -> bytes:
+    return _enc_id(eid) + _enc_size(len(body)) + body
+
+
+def _enc_uint(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(n, "big")
+
+
+class WebmWriter:
+    """Minimal WebM muxer for one VP8/VP9 video track (the reference's
+    vpxenc --webm path via libwebm's mkvmuxer).  One Cluster per
+    keyframe-led group; SimpleBlocks with relative timecodes."""
+
+    _EBML_VERSION = 0x4286
+    _EBML_READ_VERSION = 0x42F7
+    _EBML_MAX_ID = 0x42F2
+    _EBML_MAX_SIZE = 0x42F3
+    _DOCTYPE = 0x4282
+    _DOCTYPE_VERSION = 0x4287
+    _DOCTYPE_READ_VERSION = 0x4285
+    _MUXING_APP = 0x4D80
+    _WRITING_APP = 0x5741
+    _TRACK_UID = 0x73C5
+
+    def __init__(self, f, codec: str, width: int, height: int,
+                 fps_num: int = 30, fps_den: int = 1):
+        assert codec in ("vp8", "vp9")
+        self._f = f
+        self._codec_id = b"V_VP9" if codec == "vp9" else b"V_VP8"
+        self._w, self._h = width, height
+        self._frame_ms = 1000.0 * fps_den / max(fps_num, 1)
+        self._clusters: list[bytes] = []
+        self._cur: list[bytes] = []     # current cluster's blocks
+        self._cur_tc = 0                # current cluster abs timecode
+        self._n = 0
+
+    def write_frame(self, payload: bytes, frame_idx: int,
+                    keyframe: bool) -> None:
+        tc = int(round(frame_idx * self._frame_ms))
+        if keyframe and self._cur:
+            self._flush_cluster()
+        if not self._cur:
+            self._cur_tc = tc
+        rel = tc - self._cur_tc
+        if rel > 0x7FFF:                # relative timecode is int16
+            self._flush_cluster()
+            self._cur_tc = tc
+            rel = 0
+        blk = (b"\x81"                  # track 1 (vint)
+               + rel.to_bytes(2, "big", signed=True)
+               + bytes([0x80 if keyframe else 0x00]) + payload)
+        self._cur.append(_elem(_SIMPLE_BLOCK, blk))
+        self._n += 1
+
+    def _flush_cluster(self):
+        if not self._cur:
+            return
+        body = _elem(_CLUSTER_TIMECODE, _enc_uint(self._cur_tc)) \
+            + b"".join(self._cur)
+        self._clusters.append(_elem(_CLUSTER, body))
+        self._cur = []
+
+    def close(self) -> None:
+        self._flush_cluster()
+        ebml = _elem(_EBML, b"".join([
+            _elem(self._EBML_VERSION, b"\x01"),
+            _elem(self._EBML_READ_VERSION, b"\x01"),
+            _elem(self._EBML_MAX_ID, b"\x04"),
+            _elem(self._EBML_MAX_SIZE, b"\x08"),
+            _elem(self._DOCTYPE, b"webm"),
+            _elem(self._DOCTYPE_VERSION, b"\x02"),
+            _elem(self._DOCTYPE_READ_VERSION, b"\x02")]))
+        info = _elem(_INFO, b"".join([
+            _elem(_TIMECODE_SCALE, _enc_uint(1000000)),
+            _elem(self._MUXING_APP, b"cuda-vp9-tpu"),
+            _elem(self._WRITING_APP, b"cuda-vp9-tpu")]))
+        video = _elem(_VIDEO, _elem(_PIXEL_WIDTH, _enc_uint(self._w))
+                      + _elem(_PIXEL_HEIGHT, _enc_uint(self._h)))
+        track = _elem(_TRACK_ENTRY, b"".join([
+            _elem(_TRACK_NUMBER, b"\x01"),
+            _elem(self._TRACK_UID, b"\x01"),
+            _elem(_TRACK_TYPE, b"\x01"),
+            _elem(_CODEC_ID, self._codec_id),
+            video]))
+        tracks = _elem(_TRACKS, track)
+        segment = _elem(_SEGMENT,
+                        info + tracks + b"".join(self._clusters))
+        self._f.write(ebml + segment)

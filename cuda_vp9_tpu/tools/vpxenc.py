@@ -1,8 +1,9 @@
-"""vpxenc parity: encode raw video to VP9-in-IVF.
+"""vpxenc parity: encode raw video to VP9/VP8 in IVF or WebM.
 
 Reference: libvpx/vpxenc.c + vp9/vp9_cx_iface.c.  Fixed-QP encoding;
 --kf-max-dist > 1 codes single-reference ZEROMV/LAST inter frames with
-intra fallback between keyframes.  .y4m or raw I420 input, IVF output.
+intra fallback between keyframes.  .y4m or raw I420 input; IVF output, or WebM when the output
+path ends in .webm (--codec=vp8 selects the VP8 encoder).
 
 Usage:
   python -m cuda_vp9_tpu.tools.vpxenc in.{y4m,yuv} -o out.ivf
@@ -88,13 +89,30 @@ def main(argv=None):
     t0 = time.monotonic()
     n = 0
     total_bytes = 0
+    is_webm = args.output.lower().endswith(".webm")
+
+    def _is_key(payload: bytes) -> bool:
+        """Sniff the (sub)frame type from the first payload byte."""
+        if args.codec == "vp8":
+            return (payload[0] & 1) == 0
+        # VP9 profile 0/2 bit layout: marker(2) p0 p1 show_existing
+        # frame_type show_frame ... (frame_type 0 = keyframe)
+        return (payload[0] & 0x0C) == 0
+
     with open(args.output, "wb") as f:
         fps = getattr(src, "fps", (30, 1))
-        fourcc = b"VP80" if args.codec == "vp8" else b"VP90"
-        writer = IvfWriter(f, fourcc, w, h, fps[0], fps[1])
+        if is_webm:
+            from ..containers.webm import WebmWriter
+            writer = WebmWriter(f, args.codec, w, h, fps[0], fps[1])
+        else:
+            fourcc = b"VP80" if args.codec == "vp8" else b"VP90"
+            writer = IvfWriter(f, fourcc, w, h, fps[0], fps[1])
         for planes in src:
             payload = enc.encode_frame(planes)
-            writer.write_frame(payload, n)
+            if is_webm:
+                writer.write_frame(payload, n, _is_key(payload))
+            else:
+                writer.write_frame(payload, n)
             total_bytes += len(payload)
             if args.psnr:
                 rec = enc_last_y(enc, h, w)
