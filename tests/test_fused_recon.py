@@ -23,8 +23,17 @@ FAST = [s for s in fixture_streams()
         if s[0] in ("kf01_64x64", "in01_176x144",
                     "ll01_176x144_lossless", "p2_01_176x144_10b",
                     "dn01_176x144_dense")]
-# slow tier: the rest of the corpus through the fused path
-SLOW = [s for s in fixture_streams() if s not in FAST]
+# slow tier: the rest of the corpus through the fused path.  HD
+# geometries only run on a real accelerator — the XLA:CPU compile of a
+# 1080p fused step takes tens of minutes and validates nothing the TPU
+# run doesn't.  (config read, not jax.default_backend(): backend init
+# at collection time hangs if the device tunnel is down)
+import jax
+
+_CPU = "cpu" in str(getattr(jax.config, "jax_platforms", None) or
+                    os.environ.get("JAX_PLATFORMS", ""))
+SLOW = [s for s in fixture_streams() if s not in FAST
+        and not (s[0].startswith("hd") and _CPU)]
 
 
 def _check_fused(name, ivf, md5):

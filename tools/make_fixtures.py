@@ -109,6 +109,8 @@ def main():
                                           "tile_cols=1"])
     gen("tl02_1280x720_t4", 1280, 720, 6, ["gop=9999", "crf=40",
                                            "cpu_used=5", "tile_cols=2"])
+    gen("hd01_1920x1080_t4", 1920, 1080, 4, ["gop=9999", "crf=42",
+                                             "cpu_used=5", "tile_cols=2"])
     gen("ll01_176x144_lossless", 176, 144, 6, ["gop=4", "lossless=1", "crf=0",
                                                "cpu_used=2"])
     gen("br01_352x288_lowq", 352, 288, 15, ["gop=9999", "crf=50", "cpu_used=4"])
