@@ -146,7 +146,11 @@ class Vp9Encoder:
     def _rc_frame_target(self, is_key: bool) -> float:
         """Per-frame byte budget.  The keyframe borrows from its GOP's
         inter frames so each GOP sums to gop * per-frame-target
-        (vp9_ratectrl.c rc->this_frame_target shaping)."""
+        (vp9_ratectrl.c rc->this_frame_target shaping).  A two-pass
+        driver overrides per frame via next_frame_target (the
+        vp9_firstpass.c bit-allocation analog)."""
+        if self.next_frame_target is not None:
+            return self.next_frame_target
         base = self.target_bitrate_kbps * 1000.0 / 8.0 / self.fps
         if self.gop <= 1:
             return base
@@ -154,6 +158,8 @@ class Vp9Encoder:
         if is_key:
             return base * boost
         return base * (self.gop - boost) / (self.gop - 1)
+
+    next_frame_target = None   # two-pass per-frame byte target
 
     def _rc_pre_frame(self, is_key: bool) -> None:
         """Pick this frame's qindex from the running rate-control state
@@ -238,6 +244,7 @@ class Vp9Encoder:
         self._rc_q = self.base_qindex if self.target_bitrate_kbps \
             and not is_key else self._rc_q
         self._rc_post_frame(len(out), is_key)
+        self.next_frame_target = None    # two-pass override: one frame
         return out
 
     _last_recon = None

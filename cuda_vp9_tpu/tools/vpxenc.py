@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--target-bitrate", type=int, default=0, metavar="K",
                     help="one-pass rate control toward K kbit/s "
                          "(0 = fixed QP at --qindex)")
+    ap.add_argument("--passes", type=int, default=1, choices=(1, 2),
+                    help="2 = first-pass complexity analysis drives "
+                         "per-frame bit allocation and scene-cut "
+                         "keyframes (needs --target-bitrate)")
     ap.add_argument("--fps", type=float, default=30.0,
                     help="frame rate for rate control (default 30)")
     ap.add_argument("--no-mode-search", action="store_true",
@@ -86,6 +90,41 @@ def main(argv=None):
                          target_bitrate_kbps=args.target_bitrate,
                          fps=args.fps)
 
+    # ---- two-pass: first-pass stats -> per-frame bit allocation
+    # (vp9/encoder/vp9_firstpass.c's coded_error/intra_error shape)
+    stats = None
+    if args.passes == 2:
+        if not args.target_bitrate:
+            print("vpxenc: --passes=2 needs --target-bitrate",
+                  file=sys.stderr)
+            return 1
+        if args.codec == "vp8":
+            print("vpxenc: --passes=2 is vp9-only", file=sys.stderr)
+            return 1
+        stats = []
+        prev = None
+        for planes in src:
+            y = np.asarray(planes[0], np.int64)
+            intra_err = float(np.abs(y - int(y.mean())).mean())
+            inter_err = (float(np.abs(y - prev).mean())
+                         if prev is not None else intra_err)
+            stats.append((intra_err, inter_err))
+            prev = y
+            if args.limit and len(stats) >= args.limit:
+                break
+        src = open_raw_video(args.input, args.width, args.height,
+                             args.bit_depth or 8)   # rewind for pass 2
+        total_budget = (args.target_bitrate * 1000.0 / 8.0
+                        * len(stats) / args.fps)
+        # scene cut when inter prediction stops paying (fp.c kf logic)
+        keys = [i == 0 or (s[1] > 0.9 * s[0] and s[1] > 12.0)
+                for i, s in enumerate(stats)]
+        weights = [(4.0 if keys[i] else 1.0)
+                   * (0.2 + stats[i][0 if keys[i] else 1])
+                   for i in range(len(stats))]
+        wsum = sum(weights) or 1.0
+        targets = [total_budget * wt / wsum for wt in weights]
+
     t0 = time.monotonic()
     n = 0
     total_bytes = 0
@@ -108,7 +147,11 @@ def main(argv=None):
             fourcc = b"VP80" if args.codec == "vp8" else b"VP90"
             writer = IvfWriter(f, fourcc, w, h, fps[0], fps[1])
         for planes in src:
-            payload = enc.encode_frame(planes)
+            if stats is not None and n < len(targets):
+                enc.next_frame_target = targets[n]
+                payload = enc.encode_frame(planes, force_key=keys[n])
+            else:
+                payload = enc.encode_frame(planes)
             if is_webm:
                 writer.write_frame(payload, n, _is_key(payload))
             else:

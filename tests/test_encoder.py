@@ -326,3 +326,43 @@ def test_bit_writer_roundtrip():
     assert r.f(2) == 0x2
     assert r.f(16) == 12345
     assert r.sf(6) == -13
+
+
+def test_two_pass_scene_cut_and_budget(tmp_path):
+    """vpxenc --passes=2: first-pass stats place keyframes at scene
+    cuts and allocate per-frame bits within the budget
+    (vp9_firstpass.c analog)."""
+    from cuda_vp9_tpu.decoder.headers import parse_uncompressed_header
+    from cuda_vp9_tpu.tools import vpxenc as vpxenc_mod
+
+    w, h, n = 176, 144, 12
+    yy, xx = np.mgrid[0:h, 0:w]
+    raw = tmp_path / "in.yuv"
+    with open(raw, "wb") as f:
+        for t in range(n):
+            if t < 6:
+                y = ((128 + 60 * np.sin((xx + 2 * t) / 15.0))
+                     ).clip(0, 255).astype(np.uint8)
+            else:   # hard cut at t=6
+                y = ((100 + 80 * np.cos((yy + 3 * (t - 6)) / 9.0))
+                     ).clip(0, 255).astype(np.uint8)
+            u = np.full(((h + 1) // 2, (w + 1) // 2), 120, np.uint8)
+            v = np.full(((h + 1) // 2, (w + 1) // 2), 135, np.uint8)
+            f.write(y.tobytes() + u.tobytes() + v.tobytes())
+    out = tmp_path / "o2.ivf"
+    rc = vpxenc_mod.main([str(raw), "-o", str(out), "--width", str(w),
+                          "--height", str(h), "--passes", "2",
+                          "--target-bitrate", "150", "--fps", "30"])
+    assert rc == 0
+    pkts = [p for p, _ in IvfReaderList(str(out))]
+    keys = [parse_uncompressed_header(
+        p, ref_sizes=lambda i: (w, h)).frame_type == 0 for p in pkts]
+    assert keys[0] and keys[6], keys       # scene cut detected
+    assert sum(keys) <= 3
+    total = sum(len(p) for p in pkts)
+    budget = 150_000 / 8 * n / 30
+    assert total <= 1.6 * budget, (total, budget)
+    # spec-valid: own decoder == normative decoder
+    own = _own_md5(out)
+    norm = _normative_md5(tmp_path, out)
+    assert own == norm and len(own) == n
