@@ -67,6 +67,18 @@ struct BoolDec {
     marker_bad = read(128) != 0;
   }
   void fill() {
+    // bulk path: shift in 8*n bits with one unaligned big-endian load
+    // (safe whenever a full 8-byte read fits before `end`)
+    if (count >= 0 && count < 48 && pos + 8 <= end) {
+      int n = (48 - count + 7) >> 3;  // bytes needed to reach count>=48
+      uint64_t be;
+      __builtin_memcpy(&be, data + pos, 8);
+      be = __builtin_bswap64(be);
+      value = (value << (8 * n)) | (be >> (64 - 8 * n));
+      pos += n;
+      count += 8 * n;
+      return;
+    }
     while (count < 48) {
       uint8_t b = 0;
       if (pos < end) b = data[pos++];
@@ -86,8 +98,12 @@ struct BoolDec {
     } else {
       bit = 0; range = split;
     }
-    // renormalize into [128, 255]
-    while (range < 128) { range <<= 1; count -= 1; }
+    // renormalize into [128, 255]: range>=1, so clz gives the exact shift
+    if (range < 128) {
+      int shift = __builtin_clz(range) - 24;
+      range <<= shift;
+      count -= shift;
+    }
     return bit;
   }
   inline int read_bit() { return read(128); }

@@ -3,6 +3,7 @@ simple_decoder.c, simple_encoder.c, vp9_lossless_encoder.c,
 decode_with_drops.c, vpx_temporal_svc_encoder.c)."""
 
 import hashlib
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -19,9 +20,15 @@ EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
 
 
 def _run(script, *args):
+    # Examples inherit the suite's CPU-backend policy (conftest.py):
+    # without this a down axon tunnel hangs jax device init inside the
+    # subprocess until the 900 s timeout.
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([sys.executable, str(EXAMPLES / script),
                         *map(str, args)], capture_output=True, text=True,
-                       timeout=900)
+                       timeout=900, env=env)
     assert r.returncode == 0, f"{script}: {r.stderr[-2000:]}"
     return r.stderr
 
