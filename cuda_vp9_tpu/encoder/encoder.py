@@ -352,6 +352,92 @@ class Vp9Encoder:
         wb.f(comp_size, 16)
         return wb.data()
 
+    # ------------------------------------------- intra-only frames
+
+    def encode_intra_only_frame(self, planes, refresh_flags: int = 0xFF,
+                                error_resilient: bool = True,
+                                reset_frame_context: int = 0,
+                                frame_context_idx: int = 0) -> bytes:
+        """Hidden intra-only frame: frame_type=non-key, show_frame=0,
+        intra_only=1 (vp9_decodeframe.c:3182-3213).  Intra-only frames
+        use the keyframe mode syntax (frame_is_intra_only selects
+        read_intra_frame_mode_info for both), so the keyframe tile coder
+        is reused verbatim; only the uncompressed header differs.  The
+        frame is not shown — pair with write_show_existing() to display
+        it.  Non-error-resilient variants exercise the decoder's
+        reset_frame_context semantics (vp9_entropymode.c:440-469); every
+        saved context a stream from this encoder can reach holds the
+        defaults (refresh_frame_context is never set), so any reset
+        value stays consistent with coding against default probs."""
+        st = _FrameState(self, planes)
+        tile_data = self._encode_tiles(st)
+        comp = self._compressed_header()
+        unc = self._uncompressed_header_intra_only(
+            len(comp), refresh_flags, error_resilient,
+            reset_frame_context, frame_context_idx)
+        self._last_recon = st.recon
+        if refresh_flags & (1 << self.ref_slot):
+            self._ref_recon = [p.copy() for p in st.recon]
+            self._ext_ref = None
+        self.frame_idx += 1
+        return unc + comp + tile_data
+
+    def write_show_existing(self, slot: int) -> bytes:
+        """show_existing_frame packet: displays ref pool slot `slot`
+        (one byte for profiles 0/1)."""
+        wb = BitWriter()
+        wb.f(C.VP9_FRAME_MARKER, 2)
+        wb.write_bit(self.profile & 1)
+        wb.write_bit((self.profile >> 1) & 1)
+        wb.write_bit(1)              # show_existing_frame
+        wb.f(slot, 3)                # frame_to_show_map_idx
+        return wb.data()
+
+    def _uncompressed_header_intra_only(self, comp_size, refresh_flags,
+                                        error_resilient, reset_fc,
+                                        fc_idx) -> bytes:
+        wb = BitWriter()
+        wb.f(C.VP9_FRAME_MARKER, 2)
+        wb.write_bit(self.profile & 1)
+        wb.write_bit((self.profile >> 1) & 1)
+        wb.write_bit(0)              # show_existing_frame
+        wb.write_bit(1)              # frame_type: non-key
+        wb.write_bit(0)              # show_frame (intra_only requires 0)
+        wb.write_bit(1 if error_resilient else 0)
+        wb.write_bit(1)              # intra_only
+        if not error_resilient:
+            wb.f(reset_fc, 2)        # reset_frame_context
+        for b in C.VP9_SYNC_CODE:
+            wb.f(b, 8)
+        if self.profile > 0:
+            # profile 2: bit depth + colorspace (4:2:0 implied); the
+            # profile-0 intra-only header codes NO colorspace (4:2:0
+            # BT.601 is normative, vp9_decodeframe.c:3195-3203)
+            wb.write_bit(0 if self.bit_depth == 10 else 1)
+            wb.f(C.CS_BT_601, 3)
+            wb.write_bit(0)          # color_range (studio)
+        wb.f(refresh_flags, 8)
+        wb.f(self.width - 1, 16)
+        wb.f(self.height - 1, 16)
+        wb.write_bit(0)              # render size == frame size
+        if not error_resilient:
+            wb.write_bit(0)          # refresh_frame_context
+            wb.write_bit(1)          # frame_parallel_decoding_mode
+        wb.f(fc_idx, C.FRAME_CONTEXTS_LOG2)
+        wb.f(0, 6)                   # lf filter_level
+        wb.f(0, 3)                   # lf sharpness
+        wb.write_bit(0)              # mode_ref_delta_enabled
+        wb.f(self.base_qindex, 8)
+        wb.write_bit(0)              # y_dc_delta_q
+        wb.write_bit(0)              # uv_dc_delta_q
+        wb.write_bit(0)              # uv_ac_delta_q
+        wb.write_bit(0)              # segmentation
+        if self.log2_tile_cols < self.max_log2_tile_cols:
+            wb.write_bit(0)
+        wb.write_bit(0)              # log2_tile_rows
+        wb.f(comp_size, 16)
+        return wb.data()
+
     def _make_parse_state(self):
         """Decoder-machinery state for inter symbol contexts (mode /
         ref / partition), exactly as encoder/interframe.py builds it."""

@@ -133,19 +133,28 @@ def main():
     # --- compound prediction (mixed sign bias; synthetic writer:
     # libvpx 1-pass CRF never emits alt-refs here) ---
     gen_compound("cp01_352x288_compound", 352, 288)
+    # --- hidden intra-only frames + show_existing (repo's own encoder;
+    # ER and non-ER reset_frame_context variants) ---
+    gen_io("io01_176x144_intraonly", 176, 144)
     # --- spatial SVC superframes from the repo's own SVC encoder
     # (2 layers, inter-layer scaled prediction, non-shown base frames);
     # golden MD5s from the normative libvpx decoder ---
     gen_svc("svc01_352x288_2l", 352, 288, 8)
-    # --- profile 2, 10-bit ---
+    # --- profile 2, 10-bit / 12-bit ---
     gen("p2_01_176x144_10b", 176, 144, 8, ["gop=4", "crf=30", "cpu_used=2",
                                            "bitdepth=10", "profile=2"],
         bitdepth=10)
+    gen("p2_02_176x144_12b", 176, 144, 8, ["gop=4", "crf=28", "cpu_used=2",
+                                           "bitdepth=12", "profile=2"],
+        bitdepth=12)
     # --- profile 1 (4:4:4 / 4:2:2) ---
     gen_ss("p1_01_176x144_444", 176, 144, 6, 444,
            ["gop=3", "crf=30", "cpu_used=2"])
     gen_ss("p1_02_176x144_422", 176, 144, 6, 422,
            ["gop=3", "crf=30", "cpu_used=2"])
+    # --- profile 3 (4:4:4 10-bit) ---
+    gen_ss("p3_01_176x144_444_10b", 176, 144, 6, 444,
+           ["gop=3", "crf=30", "cpu_used=2"], bitdepth=10, profile=3)
     # --- VP8 (keyframe-only; golden MD5s from the normative `vp8`
     # libavcodec decoder) ---
     gen_vp8("v8kf01_176x144", 176, 144, 4, ["gop=1", "crf=30", "cpu_used=2"])
@@ -162,12 +171,14 @@ def main():
 
 
 def gen_ss(name: str, w: int, h: int, n: int, ss: int, enc_opts: list[str],
-           seed: int = 7):
-    """Profile-1 fixture at 4:2:2 (ss=422) or 4:4:4 (ss=444): luma from
+           seed: int = 7, bitdepth: int = 8, profile: int = 1):
+    """Profile-1/3 fixture at 4:2:2 (ss=422) or 4:4:4 (ss=444): luma from
     synth_video, chroma upsampled to the target subsampling."""
     import numpy as np
     os.makedirs(FIXDIR, exist_ok=True)
-    i420 = np.frombuffer(synth_video(w, h, n, seed=seed), np.uint8)
+    dt = np.dtype("<u2") if bitdepth > 8 else np.dtype(np.uint8)
+    i420 = np.frombuffer(synth_video(w, h, n, bitdepth=bitdepth, seed=seed),
+                         dt)
     fsz = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
     cw = w if ss == 444 else (w + 1) // 2
     ch = h if ss != 420 else (h + 1) // 2
@@ -178,16 +189,17 @@ def gen_ss(name: str, w: int, h: int, n: int, ss: int, enc_opts: list[str],
         y = f[:w * h].reshape(h, w)
         u = f[w * h:w * h + csz].reshape((h + 1) // 2, (w + 1) // 2)
         v = f[w * h + csz:].reshape((h + 1) // 2, (w + 1) // 2)
-        ur = np.kron(u, np.ones((2, 2), np.uint8))[:ch, :cw]
-        vr = np.kron(v, np.ones((2, 2), np.uint8))[:ch, :cw]
-        out += y.tobytes() + ur.tobytes() + vr.tobytes()
+        ur = np.kron(u, np.ones((2, 2), dt))[:ch, :cw]
+        vr = np.kron(v, np.ones((2, 2), dt))[:ch, :cw]
+        out += y.tobytes() + ur.astype(dt).tobytes() + vr.astype(dt).tobytes()
     yuv = os.path.join("/tmp", f"fix_{name}.yuv")
     with open(yuv, "wb") as fo:
         fo.write(bytes(out))
     ivf = os.path.join(FIXDIR, f"{name}.ivf")
     md5 = os.path.join(FIXDIR, f"{name}.md5")
     run([ORACLE_BIN, "encode", str(w), str(h), yuv, ivf,
-         f"pixfmt={ss}", "profile=1"] + enc_opts)
+         f"pixfmt={ss}", f"profile={profile}", f"bitdepth={bitdepth}"]
+        + enc_opts)
     run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
 
 
@@ -300,6 +312,66 @@ def gen_compound(name: str, w: int, h: int, seed: int = 11):
     run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
     print(f"  {name}: {len(open(ivf,'rb').read())} bytes, "
           f"{open(md5).read().count(chr(10))} frames")
+
+
+def gen_io(name: str, w: int, h: int, seed: int = 7):
+    """Intra-only-frame fixture: hidden intra-only frames displayed via
+    show_existing_frame packets (no reachable encoder emits intra-only
+    frames, so the repo's own encoder writes them).  Covers the
+    error-resilient variant AND a non-ER variant with
+    reset_frame_context=2 / frame_context_idx=1 — the frame must then
+    decode with SAVED context 0, exercising the
+    vp9_setup_past_independence reset semantics
+    (vp9_entropymode.c:440-469).  Golden MD5s from the normative
+    libavcodec decoder."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(ROOT))
+    from cuda_vp9_tpu.containers.ivf import IvfWriter
+    from cuda_vp9_tpu.encoder import Vp9Encoder
+    os.makedirs(FIXDIR, exist_ok=True)
+    n = 6
+    raw = np.frombuffer(synth_video(w, h, n, seed=seed), np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    fsz = w * h + 2 * cw * ch
+
+    def planes(i):
+        f = raw[i * fsz:(i + 1) * fsz]
+        return [f[:w * h].reshape(h, w),
+                f[w * h:w * h + cw * ch].reshape(ch, cw),
+                f[w * h + cw * ch:].reshape(ch, cw)]
+
+    enc = Vp9Encoder(w, h, base_qindex=70, gop=9999)
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        pts = 0
+        for payload in (
+            enc.encode_frame(planes(0)),               # keyframe
+            enc.encode_frame(planes(1)),               # inter
+            # hidden ER intra-only refreshing all slots, then shown
+            enc.encode_intra_only_frame(planes(2)),
+            enc.write_show_existing(0),
+            enc.encode_frame(planes(3)),               # inter from io recon
+            # non-ER intra-only: reset ctx 1 to defaults, decode with
+            # saved ctx 0 (forced by setup_past_independence)
+            enc.encode_intra_only_frame(planes(4), refresh_flags=0x01,
+                                        error_resilient=False,
+                                        reset_frame_context=2,
+                                        frame_context_idx=1),
+            enc.write_show_existing(0),
+            enc.encode_frame(planes(5)),               # inter
+        ):
+            wtr.write_frame(payload, pts)
+            pts += 1
+        wtr.close()
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    md5b = os.path.join("/tmp", f"fix_{name}.libvpx.md5")
+    run([ORACLE_BIN, "decode", ivf, md5b, "codec=libvpx-vp9"])
+    assert open(md5).read() == open(md5b).read(), \
+        f"oracle decoders disagree on {name}!"
+    print(f"  {name}: {os.path.getsize(ivf)} bytes, "
+          f"{open(md5).read().count(chr(10))} shown frames")
 
 
 def gen_svc(name: str, w: int, h: int, n: int, seed: int = 7):

@@ -15,7 +15,8 @@
  * Usage:
  *   oracle encode <w> <h> <in.yuv> <out.ivf> [key=val ...]
  *       keys: fps (30) crf (32) bitrate (0) gop (9999) lossless (0)
- *             tile_cols (0 = log2) cpu_used (1) bitdepth (8|10) profile (0|2)
+ *             tile_cols (0 = log2) cpu_used (1) bitdepth (8|10|12)
+ *             profile (0-3) pixfmt (420|422|444)
  *             aq_mode speed threads
  *   oracle decode <in.ivf> <out.md5> [raw_out.yuv] [codec=vp9|libvpx-vp9]
  */
@@ -93,9 +94,16 @@ static int do_encode(int argc, char **argv) {
     c->width = w; c->height = h;
     c->time_base = (AVRational){1, fps};
     c->framerate = (AVRational){fps, 1};
-    c->pix_fmt = bitdepth == 10 ? AV_PIX_FMT_YUV420P10LE : AV_PIX_FMT_YUV420P;
-    if (ss == 422) c->pix_fmt = AV_PIX_FMT_YUV422P;
-    else if (ss == 444) c->pix_fmt = AV_PIX_FMT_YUV444P;
+    c->pix_fmt =
+        ss == 422 ? (bitdepth == 12 ? AV_PIX_FMT_YUV422P12LE
+                   : bitdepth == 10 ? AV_PIX_FMT_YUV422P10LE
+                                    : AV_PIX_FMT_YUV422P)
+      : ss == 444 ? (bitdepth == 12 ? AV_PIX_FMT_YUV444P12LE
+                   : bitdepth == 10 ? AV_PIX_FMT_YUV444P10LE
+                                    : AV_PIX_FMT_YUV444P)
+                  : (bitdepth == 12 ? AV_PIX_FMT_YUV420P12LE
+                   : bitdepth == 10 ? AV_PIX_FMT_YUV420P10LE
+                                    : AV_PIX_FMT_YUV420P);
     c->gop_size = gop;
     c->max_b_frames = 0;
     c->thread_count = threads;
@@ -135,7 +143,7 @@ static int do_encode(int argc, char **argv) {
     frame->format = c->pix_fmt; frame->width = w; frame->height = h;
     av_frame_get_buffer(frame, 0);
     AVPacket *pkt = av_packet_alloc();
-    int bytes_per = bitdepth == 10 ? 2 : 1;
+    int bytes_per = bitdepth > 8 ? 2 : 1;
     int cw_full = ss == 444 ? w : (w + 1) / 2;
     int ch_full = ss == 420 ? (h + 1) / 2 : h;
     size_t ysz = (size_t)w * h * bytes_per;
