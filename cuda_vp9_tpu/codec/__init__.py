@@ -63,6 +63,27 @@ VP9D_SET_ROW_MT = 269
 VP9D_GET_TILE_DATA = 270
 VP9D_SET_LOOP_FILTER_OPT = 271
 
+# vpx/vp8.h common control ids (decoder-side support mirrors
+# vp9_dx_iface.c:675-697): reference get/set/copy + postproc config
+VP8_SET_REFERENCE = 1
+VP8_COPY_REFERENCE = 2
+VP8_SET_POSTPROC = 3
+VP9_GET_REFERENCE = 128
+# vpx_ref_frame_type (vpx/vp8.h:121)
+VP8_LAST_FRAME = 1
+VP8_GOLD_FRAME = 2
+VP8_ALTR_FRAME = 4
+
+
+class RefFrame:
+    """vpx_ref_frame_t / vp9_ref_frame_t parity: `frame_type` selects
+    the reference for SET/COPY; `planes` ([y, u, v] numpy, visible/crop
+    dims) is the input (SET) or is populated (COPY / GET)."""
+
+    def __init__(self, frame_type: int = VP8_LAST_FRAME, planes=None):
+        self.frame_type = frame_type
+        self.planes = planes
+
 
 # init-time flags (vpx/vpx_decoder.h:73-80)
 VPX_CODEC_USE_POSTPROC = 0x10000
@@ -429,11 +450,146 @@ def vpx_codec_get_stream_info(ctx: CodecCtx, si: StreamInfo) -> int:
     return VPX_CODEC_OK
 
 
+def _vp9_ref_planes(rb):
+    """Materialized visible-dim plane views + chroma dims of a
+    RefBuffer."""
+    import numpy as np
+    cw = (rb.width + rb.ss_x) >> rb.ss_x
+    chh = (rb.height + rb.ss_y) >> rb.ss_y
+    planes = [np.asarray(p) for p in rb.planes]
+    return planes, cw, chh
+
+
+def _ctrl_set_reference(ctx, rf) -> int:
+    """VP8_SET_REFERENCE (vp9_set_reference_dec / vp8dx_set_reference):
+    overwrite the LAST/GOLDEN/ALTREF reference BUFFER in place — every
+    ref-map slot sharing that buffer sees the new pixels, matching the
+    reference's ref-counted frame pool."""
+    import numpy as np
+    if rf is None or rf.planes is None:
+        return VPX_CODEC_INVALID_PARAM
+    dec = ctx._dec
+    if hasattr(dec, "ref_slots"):                      # VP9
+        # encoder convention lst/gld/alt = map slots 0/1/2
+        # (vp9_set_reference_dec:287-306)
+        slot = {VP8_LAST_FRAME: 0, VP8_GOLD_FRAME: 1,
+                VP8_ALTR_FRAME: 2}.get(rf.frame_type)
+        if slot is None:
+            return VPX_CODEC_ERROR
+        rb = dec.ref_slots[slot]
+        if rb is None:
+            return VPX_CODEC_ERROR
+        y, u, v = (np.asarray(p) for p in rf.planes)
+        planes, cw, chh = _vp9_ref_planes(rb)
+        if y.shape != (rb.height, rb.width) \
+                or u.shape != (chh, cw) or v.shape != (chh, cw):
+            return VPX_CODEC_ERROR  # "Incorrect buffer dimensions"
+        planes[0][:rb.height, :rb.width] = y
+        planes[1][:chh, :cw] = u
+        planes[2][:chh, :cw] = v
+        rb.planes = planes
+        # device pool slots holding this buffer are stale
+        recon = ctx._recon
+        if recon is not None and hasattr(recon, "_slot_dirty"):
+            for i, s in enumerate(dec.ref_slots):
+                if s is rb:
+                    recon._slot_dirty[i] = True
+        return VPX_CODEC_OK
+    d8 = getattr(dec, "_dec", None)
+    if d8 is not None and hasattr(d8, "refs"):         # VP8
+        from ..vp8.decoder import (LAST, GOLDEN, ALTREF, BY, BC,
+                                   Vp8Decoder)
+        key = {VP8_LAST_FRAME: LAST, VP8_GOLD_FRAME: GOLDEN,
+               VP8_ALTR_FRAME: ALTREF}.get(rf.frame_type)
+        if key is None:
+            return VPX_CODEC_ERROR
+        buf = d8.refs.get(key)
+        if buf is None:
+            return VPX_CODEC_ERROR
+        w, h = d8.hdr.width, d8.hdr.height
+        cw, chh = (w + 1) >> 1, (h + 1) >> 1
+        y, u, v = (np.asarray(p) for p in rf.planes)
+        if y.shape != (h, w) or u.shape != (chh, cw) \
+                or v.shape != (chh, cw):
+            return VPX_CODEC_ERROR
+        Y, U, V = buf
+        Y[BY:BY + h, BY:BY + w] = y
+        U[BC:BC + chh, BC:BC + cw] = u
+        V[BC:BC + chh, BC:BC + cw] = v
+        # re-extend borders (MC reads the pre-extended apron)
+        Vp8Decoder._extend_borders(Y, U, V, d8.mb_cols * 16,
+                                   d8.mb_rows * 16)
+        return VPX_CODEC_OK
+    return VPX_CODEC_INCAPABLE
+
+
+def _ctrl_copy_reference(ctx, rf) -> int:
+    """VP8_COPY_REFERENCE (vp9_copy_reference_dec:258-285): copy the
+    current frame's LAST reference out (VP9 supports LAST only, like
+    the reference; VP8 copies any of the three)."""
+    import numpy as np
+    if rf is None:
+        return VPX_CODEC_INVALID_PARAM
+    dec = ctx._dec
+    if hasattr(dec, "ref_slots"):                      # VP9
+        if rf.frame_type != VP8_LAST_FRAME:
+            return VPX_CODEC_ERROR  # "Invalid reference frame"
+        rb = getattr(dec, "last_ref_buf", None)
+        if rb is None:
+            return VPX_CODEC_ERROR  # "No 'last' reference frame"
+        planes, cw, chh = _vp9_ref_planes(rb)
+        rf.planes = [planes[0][:rb.height, :rb.width].copy(),
+                     planes[1][:chh, :cw].copy(),
+                     planes[2][:chh, :cw].copy()]
+        return VPX_CODEC_OK
+    d8 = getattr(dec, "_dec", None)
+    if d8 is not None and hasattr(d8, "refs"):         # VP8
+        from ..vp8.decoder import LAST, GOLDEN, ALTREF, BY, BC
+        key = {VP8_LAST_FRAME: LAST, VP8_GOLD_FRAME: GOLDEN,
+               VP8_ALTR_FRAME: ALTREF}.get(rf.frame_type)
+        if key is None:
+            return VPX_CODEC_ERROR
+        buf = d8.refs.get(key)
+        if buf is None:
+            return VPX_CODEC_ERROR
+        w, h = d8.hdr.width, d8.hdr.height
+        cw, chh = (w + 1) >> 1, (h + 1) >> 1
+        Y, U, V = buf
+        rf.planes = [Y[BY:BY + h, BY:BY + w].copy(),
+                     U[BC:BC + chh, BC:BC + cw].copy(),
+                     V[BC:BC + chh, BC:BC + cw].copy()]
+        return VPX_CODEC_OK
+    return VPX_CODEC_INCAPABLE
+
+
+def _ctrl_get_reference(ctx, rf) -> int:
+    """VP9_GET_REFERENCE (ctrl_get_reference:472-487): the last SHOWN
+    frame's buffer."""
+    if rf is None:
+        return VPX_CODEC_INVALID_PARAM
+    last = ctx._last
+    if last is None:
+        return VPX_CODEC_ERROR
+    rf.planes = list(last.planes)
+    return VPX_CODEC_OK
+
+
 def vpx_codec_control(ctx: CodecCtx, ctrl_id: int, *args):
     """vpx_codec_control_ parity for the decoder-control set
-    (vpx/vp8dx.h:63-201)."""
+    (vpx/vp8dx.h:63-201 + the vpx/vp8.h common ids)."""
     if ctx is None:
         return VPX_CODEC_INVALID_PARAM
+    if ctrl_id == VP8_SET_REFERENCE:
+        return _ctrl_set_reference(ctx, args[0] if args else None)
+    if ctrl_id == VP8_COPY_REFERENCE:
+        return _ctrl_copy_reference(ctx, args[0] if args else None)
+    if ctrl_id == VP9_GET_REFERENCE:
+        return _ctrl_get_reference(ctx, args[0] if args else None)
+    if ctrl_id == VP8_SET_POSTPROC:
+        # VP9 is built without postproc in the reference
+        # (CONFIG_VP9_POSTPROC=0 -> INCAPABLE); VP8 postproc is a
+        # display-side filter this decoder does not implement
+        return VPX_CODEC_INCAPABLE
     if ctrl_id == VP8D_GET_FRAME_CORRUPTED:
         return ctx._corrupted
     if ctrl_id == VPXD_GET_LAST_QUANTIZER:

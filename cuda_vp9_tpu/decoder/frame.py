@@ -103,6 +103,7 @@ class Vp9Decoder:
         self.last_qindex = 0
         self.last_ref_updates = 0
         self.skip_loop_filter = False
+        self.last_ref_buf = None  # frame_refs[0] (VP8_COPY_REFERENCE)
 
     # --------------------------------------------------------- hooks
 
@@ -218,6 +219,9 @@ class Vp9Decoder:
         if not hdr.frame_is_intra_only:
             for i in range(C.REFS_PER_FRAME):
                 refs[C.LAST_FRAME + i] = self.ref_slots[hdr.ref_frame_idx[i]]
+            # frame_refs[0] of the current frame (VP8_COPY_REFERENCE
+            # reads it: vp9_copy_reference_dec, get_ref_frame(cm, 0))
+            self.last_ref_buf = refs[C.LAST_FRAME]
 
         planes = self._recon_fn(plan, refs)
 
@@ -304,6 +308,7 @@ class NativeVp9Decoder:
         self.last_ref_updates = 0
         self.skip_loop_filter = False
         self._last_payload = None
+        self.last_ref_buf = None  # frame_refs[0] (VP8_COPY_REFERENCE)
 
     @property
     def last_header_sizes(self):
@@ -363,6 +368,9 @@ class NativeVp9Decoder:
         if not hdr.frame_is_intra_only:
             for i in range(C.REFS_PER_FRAME):
                 refs[C.LAST_FRAME + i] = self.ref_slots[hdr.ref_frame_idx[i]]
+            # frame_refs[0] of the current frame (VP8_COPY_REFERENCE
+            # reads it: vp9_copy_reference_dec, get_ref_frame(cm, 0))
+            self.last_ref_buf = refs[C.LAST_FRAME]
         planes = self._recon_fn(plan, refs)
         new_ref = ref_recon.RefBuffer(planes, hdr.width, hdr.height,
                                       hdr.bit_depth, hdr.subsampling_x,
