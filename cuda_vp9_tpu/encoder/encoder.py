@@ -122,6 +122,15 @@ class Vp9Encoder:
         self._rc_q = self.base_qindex
         self._rc_buffer = 0.0
 
+        # segmentation (SEG_LVL_ALT_Q per-segment quantizers: ROI / AQ)
+        self.seg_map = None          # [mi_rows, mi_cols] ids, or None
+        self.seg_qdeltas = None      # requested per-segment q deltas
+        self._seg_eff_deltas = None  # per-frame clamped deltas (coded)
+        self._seg_dqs = None         # per-segment (dc, ac) dequant
+        self._seg_tree_probs = [255] * 7
+        from .bitwriter import tree_paths
+        self._seg_paths = tree_paths(M.SEGMENT_TREE)
+
         self._set_frame_q(self.base_qindex)
 
         self.fc = M.FrameContext.default()
@@ -142,6 +151,91 @@ class Vp9Encoder:
         acq = M.AC_QLOOKUP[self.bit_depth]
         self.dq_y = (int(dcq[q]), int(acq[q]))
         self.dq_uv = (int(dcq[q]), int(acq[q]))
+        if self.seg_map is not None:
+            # per-segment quantizers (vp9_get_qindex: base + ALT_Q delta
+            # clamped to [0, 255]).  The coded delta is clamped so no
+            # segment reaches qindex 0 — that would flip the segment to
+            # lossless 4x4-WHT coding mid-frame (xd->lossless[seg])
+            self._seg_eff_deltas = [
+                max(1 - q, min(255 - q, int(d))) for d in self.seg_qdeltas]
+            self._seg_dqs = [
+                (int(dcq[q + d]), int(acq[q + d]))
+                for d in self._seg_eff_deltas]
+
+    def set_segmentation(self, seg_map, qindex_deltas) -> None:
+        """Enable segmentation with per-segment qindex deltas
+        (SEG_LVL_ALT_Q; setup_segmentation / vp9_get_qindex parity:
+        ROI maps and the vpxenc variance-AQ mode ride this).
+
+        seg_map: [mi_rows, mi_cols] segment ids 0-7 — each coded block
+        takes the id at its top-left mi cell.  qindex_deltas: per-
+        segment delta added to the frame's base qindex (clamped per
+        frame so every segment stays in [1, 255]).  None disables."""
+        if seg_map is None:
+            self.seg_map = self.seg_qdeltas = None
+            self._seg_dqs = self._seg_eff_deltas = None
+            self._seg_tree_probs = [255] * 7
+            return
+        if self.lossless:
+            raise ValueError("segmentation requires a lossy encode")
+        m = np.asarray(seg_map)
+        if m.shape != (self.mi_rows, self.mi_cols):
+            raise ValueError(
+                f"seg_map must be [{self.mi_rows}, {self.mi_cols}]")
+        if m.min() < 0 or m.max() >= C.MAX_SEGMENTS:
+            raise ValueError("segment ids must be 0-7")
+        deltas = list(qindex_deltas)
+        if len(deltas) < C.MAX_SEGMENTS:
+            deltas += [0] * (C.MAX_SEGMENTS - len(deltas))
+        self.seg_map = m.astype(np.int32)
+        self.seg_qdeltas = deltas[:C.MAX_SEGMENTS]
+        # tree probs from the id histogram (vp9_segmentation.c
+        # choose_segmap_coding_method's get_binary_prob shape)
+        counts = np.bincount(self.seg_map.reshape(-1),
+                             minlength=C.MAX_SEGMENTS)
+        probs = [255] * 7
+        node_counts = {}
+        for leaf in range(C.MAX_SEGMENTS):
+            for node, bit in self._seg_paths[leaf]:
+                c = node_counts.setdefault(node >> 1, [0, 0])
+                c[bit] += int(counts[leaf])
+        for idx, (c0, c1) in node_counts.items():
+            if c0 + c1:
+                probs[idx] = max(1, min(255,
+                                        round(256 * c0 / (c0 + c1))))
+        self._seg_tree_probs = probs
+        self._set_frame_q(self.base_qindex)
+
+    def _blk_dq(self, seg_id: int):
+        """(dc, ac) dequant pair for a block in segment seg_id."""
+        if self._seg_dqs is None:
+            return self.dq_y
+        return self._seg_dqs[seg_id]
+
+    def _write_segmentation(self, wb) -> None:
+        """Mirror of _setup_segmentation (decoder/headers.py:198)."""
+        if self.seg_map is None:
+            wb.write_bit(0)          # segmentation enabled
+            return
+        wb.write_bit(1)              # enabled
+        wb.write_bit(1)              # update_map
+        for p in self._seg_tree_probs:
+            if p == 255:
+                wb.write_bit(0)
+            else:
+                wb.write_bit(1)
+                wb.f(p, 8)
+        wb.write_bit(0)              # temporal_update
+        wb.write_bit(1)              # update_data
+        wb.write_bit(0)              # abs_delta: deltas vs base q
+        for i in range(C.MAX_SEGMENTS):
+            d = self._seg_eff_deltas[i]
+            wb.write_bit(1)          # SEG_LVL_ALT_Q enabled
+            wb.f(min(abs(d), 255), 8)
+            wb.write_bit(1 if d < 0 else 0)
+            wb.write_bit(0)          # SEG_LVL_ALT_LF
+            wb.write_bit(0)          # SEG_LVL_REF_FRAME
+            wb.write_bit(0)          # SEG_LVL_SKIP
 
     def _rc_frame_target(self, is_key: bool) -> float:
         """Per-frame byte budget.  The keyframe borrows from its GOP's
@@ -282,7 +376,7 @@ class Vp9Encoder:
         wb.write_bit(0)              # y_dc_delta_q
         wb.write_bit(0)              # uv_dc_delta_q
         wb.write_bit(0)              # uv_ac_delta_q
-        wb.write_bit(0)              # segmentation enabled
+        self._write_segmentation(wb)
         # tile info: unary-ish increment bits from min to chosen (== min)
         if self.log2_tile_cols < self.max_log2_tile_cols:
             wb.write_bit(0)          # stop at min_log2_tile_cols
@@ -345,7 +439,7 @@ class Vp9Encoder:
         wb.write_bit(0)              # y_dc_delta_q
         wb.write_bit(0)              # uv_dc_delta_q
         wb.write_bit(0)              # uv_ac_delta_q
-        wb.write_bit(0)              # segmentation
+        self._write_segmentation(wb)
         if self.log2_tile_cols < self.max_log2_tile_cols:
             wb.write_bit(0)
         wb.write_bit(0)              # log2_tile_rows
@@ -431,7 +525,7 @@ class Vp9Encoder:
         wb.write_bit(0)              # y_dc_delta_q
         wb.write_bit(0)              # uv_dc_delta_q
         wb.write_bit(0)              # uv_ac_delta_q
-        wb.write_bit(0)              # segmentation
+        self._write_segmentation(wb)
         if self.log2_tile_cols < self.max_log2_tile_cols:
             wb.write_bit(0)
         wb.write_bit(0)              # log2_tile_rows
@@ -582,8 +676,10 @@ class Vp9Encoder:
         xd.above = g.at(mi_row - 1, mi_col) if mi_row > 0 else None
         xd.left = (g.at(mi_row, mi_col - 1)
                    if mi_col > xd.tile.mi_col_start else None)
+        seg_id = (int(self.seg_map[mi_row, mi_col])
+                  if self.seg_map is not None else 0)
         g.sb_type[mi_row, mi_col] = bsize
-        g.segment_id[mi_row, mi_col] = 0
+        g.segment_id[mi_row:mi_row + y_mis, mi_col:mi_col + x_mis] = seg_id
 
         # ---- mode decision: inter candidates (ZEROMV / NEARESTMV /
         # NEARMV from the decoder's own mv-ref machinery / NEWMV by
@@ -723,7 +819,7 @@ class Vp9Encoder:
             by4 = (mi_row * 2) >> sy
             px0, py0 = bx4 * 4, by4 * 4
             bs_full = 4 << tx_size
-            dq = self.dq_y if plane == 0 else self.dq_uv
+            dq = self._blk_dq(seg_id)
             mode = y_mode
             if use_inter:
                 # whole-block edge-clamped prediction at best_mv
@@ -801,6 +897,10 @@ class Vp9Encoder:
         skip = 0 if eobtotal_nz else 1
 
         # ---- syntax (read_inter_frame_mode_info order)
+        if self.seg_map is not None:
+            # inter_segment_id first (update_map, no temporal pred)
+            w.write_tree(M.SEGMENT_TREE, self._seg_tree_probs,
+                         self._seg_paths, seg_id)
         above, left = xd.above, xd.left
         skip_ctx = ((above.skip if above is not None else 0)
                     + (left.skip if left is not None else 0))
@@ -969,6 +1069,8 @@ class Vp9Encoder:
         y_mis = min(bh_mi, self.mi_rows - mi_row)
         mb_to_right = (self.mi_cols - bw_mi - mi_col) * 64
         mb_to_bottom = (self.mi_rows - bh_mi - mi_row) * 64
+        seg_id = (int(self.seg_map[mi_row, mi_col])
+                  if self.seg_map is not None else 0)
 
         tx_size_y = int(M.MAX_TXSIZE_LOOKUP[bsize]) if not self.lossless \
             else C.TX_4X4
@@ -1006,7 +1108,7 @@ class Vp9Encoder:
             bs = 4 << tx_size
             have_up_blk = mi_row > 0
             have_left_blk = mi_col > st.tile_col_start
-            dq = self.dq_y if plane == 0 else self.dq_uv
+            dq = self._blk_dq(seg_id)
             for row in range(0, max_bh, step):
                 for col in range(0, max_bw, step):
                     x0 = (bx4 + col) * 4
@@ -1058,6 +1160,10 @@ class Vp9Encoder:
         skip = 0 if eobtotal_nz else 1
 
         # ---- write syntax (mirror of read_mode_info + _detoken_block)
+        if self.seg_map is not None:
+            # intra_segment_id comes FIRST (read_intra_frame_mode_info)
+            w.write_tree(M.SEGMENT_TREE, self._seg_tree_probs,
+                         self._seg_paths, seg_id)
         above_mi = (mi_row - 1, mi_col) if mi_row > 0 else None
         left_mi = (mi_row, mi_col - 1) if mi_col > st.tile_col_start \
             else None

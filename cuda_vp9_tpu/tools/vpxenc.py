@@ -60,6 +60,11 @@ def main(argv=None):
                     help="frame rate for rate control (default 30)")
     ap.add_argument("--no-mode-search", action="store_true",
                     help="force DC_PRED (faster, lower quality)")
+    ap.add_argument("--aq-mode", type=int, default=0, choices=(0, 1),
+                    help="1 = variance-based adaptive quantization: "
+                         "per-frame segment maps boost flat areas and "
+                         "relax textured ones (vp9 aq-mode=1 shape; "
+                         "vp9-only)")
     ap.add_argument("--psnr", action="store_true",
                     help="print per-frame Y PSNR vs the source")
     args = ap.parse_args(argv)
@@ -147,6 +152,8 @@ def main(argv=None):
             fourcc = b"VP80" if args.codec == "vp8" else b"VP90"
             writer = IvfWriter(f, fourcc, w, h, fps[0], fps[1])
         for planes in src:
+            if args.aq_mode and args.codec == "vp9":
+                enc.set_segmentation(*variance_aq_map(enc, planes[0]))
             if stats is not None and n < len(targets):
                 enc.next_frame_target = targets[n]
                 payload = enc.encode_frame(planes, force_key=keys[n])
@@ -178,6 +185,26 @@ def main(argv=None):
 def enc_last_y(enc, h, w):
     """Cropped luma of the encoder's in-loop reconstruction."""
     return enc._last_recon[0][:h, :w] if enc._last_recon else None
+
+
+def variance_aq_map(enc, y_plane):
+    """Variance-based AQ (vp9_aq_variance.c shape): per coding block,
+    low-variance (flat) areas get a quality boost, high-variance
+    (textured) areas relax — noise masks quantization there.  Returns
+    (seg_map [mi_rows, mi_cols], per-segment q deltas)."""
+    y = np.asarray(y_plane, np.float64)
+    h, w = y.shape
+    bs = 8  # per-mi granularity
+    mr, mc = enc.mi_rows, enc.mi_cols
+    pad = np.zeros((mr * bs, mc * bs), np.float64)
+    pad[:h, :w] = y
+    blocks = pad.reshape(mr, bs, mc, bs).transpose(0, 2, 1, 3)
+    var = blocks.var(axis=(2, 3))
+    lo, hi = np.percentile(var, (25, 75))
+    seg = np.ones((mr, mc), np.int32)
+    seg[var <= lo] = 0          # flat: boost quality
+    seg[var >= hi] = 2          # textured: relax
+    return seg, [-16, 0, 16]
 
 
 if __name__ == "__main__":

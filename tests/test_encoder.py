@@ -366,3 +366,69 @@ def test_two_pass_scene_cut_and_budget(tmp_path):
     own = _own_md5(out)
     norm = _normative_md5(tmp_path, out)
     assert own == norm and len(own) == n
+
+
+def test_encode_segmentation_roundtrip(tmp_path):
+    """SEG_LVL_ALT_Q segmentation (ROI): spec-valid, bit-exact in both
+    decoders, quality boosted inside the ROI, and map updates / clears
+    mid-stream (keyframe + inter + update_map every frame)."""
+    w, h, n = 176, 144, 6
+    frames = _make_frames(w, h, n, noise=10)
+    enc = Vp9Encoder(w, h, base_qindex=110, gop=9999)
+    seg = np.zeros((enc.mi_rows, enc.mi_cols), np.int32)
+    seg[4:12, 5:15] = 1            # ROI: boost
+    seg[:3, :] = 2                 # top band: relax
+    ivf = tmp_path / "seg.ivf"
+    roi = (slice(4 * 8, 12 * 8), slice(5 * 8, 15 * 8))
+    band = (slice(0, 3 * 8), slice(0, w))
+    mses = []
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        for i, fr in enumerate(frames):
+            if i == 0:
+                enc.set_segmentation(seg, [0, -70, 40])
+            elif i == n - 2:
+                enc.set_segmentation(seg, [0, -80, 60])  # update deltas
+            elif i == n - 1:
+                enc.set_segmentation(None, None)         # clear
+            wtr.write_frame(enc.encode_frame(fr), i)
+            rec = enc._last_recon[0][:h, :w].astype(np.int64)
+            src = np.asarray(fr[0], np.int64)
+            mses.append((float(((rec[roi] - src[roi]) ** 2).mean()),
+                         float(((rec[band] - src[band]) ** 2).mean())))
+    assert _own_md5(ivf) == _normative_md5(tmp_path, ivf)
+    # ROI must be visibly better than the relaxed band while seg is on
+    for i in range(n - 1):
+        assert mses[i][0] < mses[i][1], f"frame {i}: ROI not boosted"
+
+
+def test_encode_segmentation_validation():
+    enc = Vp9Encoder(64, 64, base_qindex=60)
+    with pytest.raises(ValueError):
+        enc.set_segmentation(np.zeros((3, 3), np.int32), [0])
+    with pytest.raises(ValueError):
+        enc.set_segmentation(
+            np.full((enc.mi_rows, enc.mi_cols), 9, np.int32), [0])
+    ll = Vp9Encoder(64, 64, lossless=True)
+    with pytest.raises(ValueError):
+        ll.set_segmentation(
+            np.zeros((ll.mi_rows, ll.mi_cols), np.int32), [0])
+
+
+def test_vpxenc_aq_mode(tmp_path):
+    """--aq-mode 1 produces spec-valid output with per-frame seg maps."""
+    import sys as _sys
+    w, h, n = 96, 80, 4
+    frames = _make_frames(w, h, n, noise=14)
+    yuv = tmp_path / "src.yuv"
+    with open(yuv, "wb") as f:
+        for fr in frames:
+            for p in fr:
+                f.write(np.asarray(p, np.uint8).tobytes())
+    ivf = tmp_path / "aq.ivf"
+    from cuda_vp9_tpu.tools import vpxenc as vpxenc_mod
+    rc = vpxenc_mod.main([str(yuv), "-o", str(ivf), "--width", str(w),
+                          "--height", str(h), "--aq-mode", "1",
+                          "--kf-max-dist", "4", "--qindex", "100"])
+    assert rc == 0
+    assert _own_md5(ivf) == _normative_md5(tmp_path, ivf)

@@ -173,3 +173,19 @@ def test_vp9cx_set_ref(tmp_path):
     # the update frame differ — but the STREAM must still parse clean
     assert r.returncode == 0, r.stderr
     assert len(md5.read_text().splitlines()) == n
+
+
+def test_set_maps(tmp_path):
+    """ROI segmentation example: maps set, updated and cleared
+    mid-stream; stream is spec-valid for the normative decoder."""
+    w, h, n = 96, 80, 8
+    yuv, _ = _make_yuv(tmp_path, w, h, n)
+    ivf = tmp_path / "sm.ivf"
+    err = _run("set_maps.py", w, h, yuv, ivf)
+    assert "ROI map set" in err and "maps cleared" in err
+    build_oracle_or_skip()
+    md5 = tmp_path / "n.md5"
+    r = subprocess.run([ORACLE_BIN, "decode", str(ivf), str(md5)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert len(md5.read_text().splitlines()) == n
