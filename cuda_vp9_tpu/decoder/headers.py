@@ -190,6 +190,10 @@ def _setup_quantization(rb: BitReader, hdr: FrameHeader):
     hdr.uv_ac_delta_q = _read_delta_q(rb)
     hdr.lossless = int(hdr.base_qindex == 0 and hdr.y_dc_delta_q == 0
                        and hdr.uv_dc_delta_q == 0 and hdr.uv_ac_delta_q == 0)
+    # NOTE: lossless is FRAME-level here, matching the reference exactly
+    # (vp9_decodeframe.c:1647 sets xd->lossless from base_qindex/deltas
+    # only; libvpx v1.9 has no per-segment lossless).  The encoder
+    # clamps segment ALT_Q deltas so no segment reaches qindex 0.
 
 
 _SEG_FEATURE_BITS = [8, 6, 2, 0]

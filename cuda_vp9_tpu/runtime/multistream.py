@@ -93,14 +93,16 @@ def _pool_syncer(S, pool_shape):
     return fn
 
 
-def _bfetcher(slot, dtype, shape):
-    """jitted r[:, slot:slot+1] ring-slot slice for a batched ring
-    [N, RING, nout] (static bounds: no scalar transfer)."""
-    key = (slot, dtype, shape)
+def _bfetcher(s0, k, dtype, shape):
+    """jitted r[:, s0:s0+k] ring-slot range slice for a batched ring
+    [N, RING, nout] (static bounds: no scalar transfer).  The copy
+    snapshots the rows on device so later donated steps can overwrite
+    the ring while the background D2H drains."""
+    key = (s0, k, dtype, shape)
     fn = _BFETCH_CACHE.get(key)
     if fn is None:
         import jax
-        fn = jax.jit(lambda r: jax.lax.slice_in_dim(r, slot, slot + 1,
+        fn = jax.jit(lambda r: jax.lax.slice_in_dim(r, s0, s0 + k,
                                                     axis=1))
         _BFETCH_CACHE[key] = fn
     return fn
@@ -217,6 +219,16 @@ class BatchedFusedDecoder:
         self._pending = []
         self._out = [[] for _ in range(n_streams)]
         self._d2h_pool = _cf.ThreadPoolExecutor(max_workers=1)
+        # rounds awaiting their output fetch: [(ring_slot, [lps])];
+        # fetched FETCH_EVERY rounds at a time in ONE background D2H
+        # (each device->host fetch pays the tunnel's ~24 ms fixed cost —
+        # a per-round fetch alone would cap 16 streams near 40 fps)
+        self._unfetched = []
+        # page-tier floor: sticky running max so per-round content
+        # changes don't bounce between compiled step variants mid-run
+        self._page_tier_floor = 0
+
+    FETCH_EVERY = 8
 
     # ------------------------------------------------------------ state
 
@@ -390,11 +402,16 @@ class BatchedFusedDecoder:
         layout = self._layout_w if use_wide else self._layout
         nflat = (layout.size + PAGE - 1) // PAGE * PAGE
         K = nflat // PAGE
-        # zero payload = identity step for streams with no frame
+        # zero payload = identity step for streams with no frame.  Its
+        # ring write must target THIS round's slot: a zero misc[13]
+        # would clobber ring row 0 — a prior round's output that the
+        # deferred batched fetch may not have read yet
         flats = []
         for f in self._round_flats:
             if f is None:
-                flats.append(np.zeros(nflat, np.int16))
+                z = np.zeros(nflat, np.int16)
+                layout.view(z, "misc")[13] = self._ring_slot
+                flats.append(z)
             elif use_wide and not f[1]:
                 flats.append(self._remap_wide(f[0]))
             else:
@@ -407,7 +424,9 @@ class BatchedFusedDecoder:
             native_compact = None
             nzp = max(int(f.reshape(K, PAGE).any(axis=1).sum())
                       for f in flats)
+        nzp = max(nzp, self._page_tier_floor)
         tier = next((t for t in _tier_ladder(K) if nzp <= t), None)
+        self._page_tier_floor = tier or 0
         if tier is not None:
             if native_compact is not None:
                 combs = [native_compact(f, K, tier) for f in flats]
@@ -423,21 +442,36 @@ class BatchedFusedDecoder:
             tier="wide" if use_wide else "tight")
         self._pool, self._ring = step(self._pool, self._ring,
                                       self.kernels, jnp.asarray(payload))
-        # one background fetch of this round's ring rows for all streams
-        lps = [lp for lp in self._round_lps if lp is not None]
-        slot = self._ring_slot
-        fetchslice = _bfetcher(slot, self._ring.dtype.str,
-                               self._ring.shape)
-        fut = self._d2h_pool.submit(
-            np.asarray, fetchslice(self._ring))
-        for lp in lps:
-            lp._fut = (fut, 0)
+        self._unfetched.append(
+            (self._ring_slot,
+             [lp for lp in self._round_lps if lp is not None]))
+        if len(self._unfetched) >= self.FETCH_EVERY:
+            self._flush_fetch()
         self._round_flats = [None] * self.n
         self._round_lps = [None] * self.n
         self._ring_slot = (self._ring_slot + 1) % self.RING
         if self._ring_slot == 0:
+            self._flush_fetch()   # ring wraps: snapshot before overwrite
             self._pending = [lp for lp in self._pending
                              if lp._planes is not None or lp._fut is not None]
+
+    def _flush_fetch(self):
+        """ONE background D2H for all rounds since the last fetch (their
+        ring slots are contiguous: the slot counter only resets at a
+        wrap, which forces a fetch first)."""
+        if not self._unfetched:
+            return
+        np = self.np
+        s0 = self._unfetched[0][0]
+        k = len(self._unfetched)
+        assert self._unfetched[-1][0] == s0 + k - 1
+        rows = _bfetcher(s0, k, self._ring.dtype.str,
+                         self._ring.shape)(self._ring)
+        fut = self._d2h_pool.submit(np.asarray, rows)
+        for j, (_, lps) in enumerate(self._unfetched):
+            for lp in lps:
+                lp._fut = (fut, j)
+        self._unfetched = []
 
     def _remap_wide(self, flat_t):
         """Expand a tight-tier flat pack into the wide layout: pure
@@ -473,6 +507,7 @@ class BatchedFusedDecoder:
 
     def flush(self):
         self._dispatch_round()
+        self._flush_fetch()
         for lp in self._pending:
             if isinstance(lp, _BatchLazyPlanes):
                 lp._force()

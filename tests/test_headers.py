@@ -51,13 +51,15 @@ def test_parse_all_fixture_headers(name, ivf, md5):
             assert (hdr.width, hdr.height) == (cw, ch)
         # bit depth / colorspace are sticky decoder state: only key and
         # intra-only frames re-code them (vp9_decodeframe.c:3054)
-        want_profile = 2 if "10b" in name else (1 if name.startswith("p1_")
-                                                else 0)
+        want_profile = (3 if name.startswith("p3_") else
+                        2 if name.startswith("p2_") else
+                        1 if name.startswith("p1_") else 0)
         assert hdr.profile == want_profile
         # bit depth / subsampling are sticky decoder state: only key and
         # intra-only frames re-code them (vp9_decodeframe.c:3054)
         if hdr.frame_is_intra_only:
-            assert hdr.bit_depth == (10 if "10b" in name else 8)
+            assert hdr.bit_depth == (10 if "10b" in name else
+                                     12 if "12b" in name else 8)
             if "444" in name:
                 assert hdr.subsampling_x == 0 and hdr.subsampling_y == 0
             elif "422" in name:
