@@ -74,6 +74,26 @@ VP8_LAST_FRAME = 1
 VP8_GOLD_FRAME = 2
 VP8_ALTR_FRAME = 4
 
+# vpx/vpx_decoder.h init flags
+VPX_CODEC_USE_POSTPROC = 0x10000
+
+# vpx/vp8.h vp8_postproc_level (VP8 display-side filters)
+VP8D_NOFILTERING = 0
+VP8D_DEBLOCK = 1 << 0
+VP8D_DEMACROBLOCK = 1 << 1
+VP8D_ADDNOISE = 1 << 2
+VP8D_MFQE = 1 << 10
+
+
+class PostProcCfg:
+    """vp8_postproc_cfg_t parity (vpx/vp8.h:80-85)."""
+
+    def __init__(self, post_proc_flag: int = 0, deblocking_level: int = 4,
+                 noise_level: int = 0):
+        self.post_proc_flag = post_proc_flag
+        self.deblocking_level = deblocking_level
+        self.noise_level = noise_level
+
 
 class RefFrame:
     """vpx_ref_frame_t / vp9_ref_frame_t parity: `frame_type` selects
@@ -169,15 +189,17 @@ class _Vp8DecoderIface:
 
     name = "cuda-vp9-tpu VP8 Decoder"
 
-    def make_decoder(self, cfg: DecCfg, use_device: bool):
+    def make_decoder(self, cfg: DecCfg, use_device: bool,
+                     use_postproc: bool = False):
         from ..vp8 import Vp8StreamDecoder
-        return Vp8StreamDecoder(), None
+        return Vp8StreamDecoder(use_postproc=use_postproc), None
 
-    def make_decoder_ec(self, cfg: DecCfg):
+    def make_decoder_ec(self, cfg: DecCfg, use_postproc: bool = False):
         """VPX_CODEC_USE_ERROR_CONCEALMENT init flag (the reference is
         built --enable-error-concealment; vp8/decoder/onyxd_if.c:97)."""
         from ..vp8 import Vp8StreamDecoder
-        return Vp8StreamDecoder(ec_enabled=True), None
+        return Vp8StreamDecoder(ec_enabled=True,
+                                use_postproc=use_postproc), None
 
 
 _VP9_IFACE = _Vp9DecoderIface()
@@ -231,6 +253,13 @@ def vpx_codec_dec_init(ctx: CodecCtx, iface, cfg: Optional[DecCfg] = None,
     ctx.iface = iface
     ctx.name = iface.name
     use_device = True
+    use_postproc = bool(flags & VPX_CODEC_USE_POSTPROC)
+    if use_postproc and not isinstance(iface, _Vp8DecoderIface):
+        # vp9 is built without postproc, like the reference
+        # (vpx_config.h CONFIG_VP9_POSTPROC=0)
+        ctx.err = VPX_CODEC_INCAPABLE
+        ctx.err_detail = "postproc not supported for this codec"
+        return ctx.err
     try:
         if flags & VPX_CODEC_USE_ERROR_CONCEALMENT:
             # vp8 only (the reference's vp9 iface has no EC either:
@@ -239,7 +268,11 @@ def vpx_codec_dec_init(ctx: CodecCtx, iface, cfg: Optional[DecCfg] = None,
                 ctx.err = VPX_CODEC_INCAPABLE
                 ctx.err_detail = "error concealment not supported"
                 return ctx.err
-            ctx._dec, ctx._recon = iface.make_decoder_ec(cfg)
+            ctx._dec, ctx._recon = iface.make_decoder_ec(
+                cfg, use_postproc=use_postproc)
+        elif isinstance(iface, _Vp8DecoderIface):
+            ctx._dec, ctx._recon = iface.make_decoder(
+                cfg, use_device, use_postproc=use_postproc)
         else:
             ctx._dec, ctx._recon = iface.make_decoder(cfg, use_device)
     except Exception as e:  # pragma: no cover
@@ -586,10 +619,17 @@ def vpx_codec_control(ctx: CodecCtx, ctrl_id: int, *args):
     if ctrl_id == VP9_GET_REFERENCE:
         return _ctrl_get_reference(ctx, args[0] if args else None)
     if ctrl_id == VP8_SET_POSTPROC:
-        # VP9 is built without postproc in the reference
-        # (CONFIG_VP9_POSTPROC=0 -> INCAPABLE); VP8 postproc is a
-        # display-side filter this decoder does not implement
-        return VPX_CODEC_INCAPABLE
+        # VP8 only; VP9 is built without postproc in the reference
+        # (vpx_config.h CONFIG_VP9_POSTPROC=0)
+        dec = ctx._dec
+        if not hasattr(dec, "postproc_cfg"):
+            return VPX_CODEC_INCAPABLE
+        cfg = args[0] if args else None
+        if cfg is None:
+            return VPX_CODEC_INVALID_PARAM
+        dec.postproc_cfg = (cfg.post_proc_flag, cfg.deblocking_level,
+                            cfg.noise_level)
+        return VPX_CODEC_OK
     if ctrl_id == VP8D_GET_FRAME_CORRUPTED:
         return ctx._corrupted
     if ctrl_id == VPXD_GET_LAST_QUANTIZER:

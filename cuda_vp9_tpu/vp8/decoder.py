@@ -759,6 +759,7 @@ class Vp8Decoder:
         probs = self.coef_probs
         mb_mode = np.zeros((mr, mc), np.int32)
         mb_skip_lf = np.zeros((mr, mc), bool)
+        mb_skip = np.zeros((mr, mc), bool)  # mb_skip_coeff (postproc)
         above_ctx = np.zeros((mc, 9), np.int32)
         for r in range(mr):
             part = parts[r % len(parts)]
@@ -837,6 +838,7 @@ class Vp8Decoder:
                         a[8] = l[8] = 0
                 mb_mode[r, c] = ym
                 mb_skip_lf[r, c] = has_y2 and skip
+                mb_skip[r, c] = skip
                 seg = int(self.seg_map[r, c])
                 if is_intra:
                     self._recon_intra_mb(Y, U, V, hdr, r, c, ym,
@@ -881,6 +883,16 @@ class Vp8Decoder:
             self._prev_mi = {
                 "bmv": bmv_all.astype(np.int64),
                 "ref": mi["ref_frame"][1:mr + 1, 1:mc + 1].copy()}
+
+        # postproc inputs: mb-aligned views (borders replicate edges)
+        # + the final per-MB skip flags (vp8_post_proc_frame reads
+        # mbmi.mb_skip_coeff; filters must not modify these buffers —
+        # they are shared with the reference pool)
+        self.pp_planes = (Y[BY:BY + H16, BY:BY + W16],
+                          U[BC:BC + H16 // 2, BC:BC + W16 // 2],
+                          V[BC:BC + H16 // 2, BC:BC + W16 // 2])
+        self.pp_skip = mb_skip
+        self.pp_filter_level = hdr.filter_level
 
         y = Y[BY:BY + hdr.height, BY:BY + hdr.width].copy()
         u = U[BC:BC + (hdr.height + 1) // 2,

@@ -189,3 +189,30 @@ def test_set_maps(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     assert len(md5.read_text().splitlines()) == n
+
+
+def test_resize_util(tmp_path):
+    w, h, n = 96, 80, 3
+    yuv, frames = _make_yuv(tmp_path, w, h, n)
+    out = tmp_path / "half.yuv"
+    err = _run("resize_util.py", yuv, f"{w}x{h}", out, "48x40")
+    assert "resized 3 frames" in err
+    dsz = 48 * 40 + 2 * 24 * 20
+    data = out.read_bytes()
+    assert len(data) == dsz * n
+    # downscale preserves the mean (gradient content, 8-tap DC gain 128)
+    y0 = np.frombuffer(data, np.uint8, 48 * 40).reshape(40, 48)
+    assert abs(float(y0.mean()) - float(frames[0][0].mean())) < 3.0
+    # round-trip upscale must also run (1:2 in both axes)
+    out2 = tmp_path / "double.yuv"
+    _run("resize_util.py", out, "48x40", out2, "96x80")
+    assert len(out2.read_bytes()) == (w * h + 2 * 48 * 40) * n
+
+
+def test_postproc_example(tmp_path):
+    ivf = FIXTURES / "v8in01_176x144.ivf"
+    out = tmp_path / "pp.yuv"
+    err = _run("postproc.py", ivf, out)
+    assert "decoded 12 frames with postproc" in err
+    fsz = 176 * 144 + 2 * 88 * 72
+    assert len(out.read_bytes()) == 12 * fsz
