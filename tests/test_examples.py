@@ -216,3 +216,20 @@ def test_postproc_example(tmp_path):
     assert "decoded 12 frames with postproc" in err
     fsz = 176 * 144 + 2 * 88 * 72
     assert len(out.read_bytes()) == 12 * fsz
+
+
+def test_vp8_multi_resolution_encoder(tmp_path):
+    """Simulcast ladder: three spec-valid VP8 streams at 1x/2x/4x down."""
+    w, h, n = 128, 96, 4
+    yuv, _ = _make_yuv(tmp_path, w, h, n)
+    outs = [tmp_path / f"mre{i}.ivf" for i in range(3)]
+    err = _run("vp8_multi_resolution_encoder.py", w, h, yuv, *outs)
+    assert "4 frames x 3 resolutions" in err
+    build_oracle_or_skip()
+    for i, (dw, dh) in enumerate([(128, 96), (64, 48), (32, 24)]):
+        md5 = tmp_path / f"mre{i}.md5"
+        r = subprocess.run([ORACLE_BIN, "decode", str(outs[i]), str(md5),
+                            "codec=vp8"], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        lines = md5.read_text().splitlines()
+        assert len(lines) == n and f"img-{dw}x{dh}" in lines[0]
