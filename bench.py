@@ -121,6 +121,12 @@ def main():
               f"host={recon.frames_on_host} total={dt:.2f}s "
               f"h2d={recon._t_h2d:.2f}s step={recon._t_step:.2f}s",
               file=sys.stderr)
+    if os.environ.get("BENCH_TIMERS") == "1":
+        # async wall timers (no forced syncs): where host-side time went
+        tw = {k: round(v, 3) for k, v in recon._tw.items()}
+        print(f"# frames={n} dev={recon.frames_on_device} "
+              f"host={recon.frames_on_host} total={dt:.2f}s tw={tw}",
+              file=sys.stderr)
     target = NORTH_STAR_PIXRATE / (w * h)
     suffix = "_TUNNEL_DOWN_cpu" if os.environ.get("_BENCH_TUNNEL_DOWN") \
         else ""

@@ -43,8 +43,13 @@ def test_asan_truncation_sweep(asan_binary, tmp_path, name):
             p = tmp_path / f"pkt{i}.bin"
             p.write_bytes(data)
             pkt_files.append(str(p))
+    # scrub any inherited LD_PRELOAD (e.g. stdbuf's libstdbuf.so): a
+    # foreign preload loads before the shared ASan runtime and aborts it
+    import os
+    env = {k: v for k, v in os.environ.items() if k != "LD_PRELOAD"}
     res = subprocess.run([str(asan_binary)] + pkt_files,
-                         capture_output=True, text=True, timeout=600)
+                         capture_output=True, text=True, timeout=600,
+                         env=env)
     assert res.returncode == 0, \
         f"ASAN sweep failed:\n{res.stdout}\n{res.stderr[-4000:]}"
     assert "OK" in res.stdout
