@@ -676,6 +676,14 @@ def vpx_codec_control(ctx: CodecCtx, ctrl_id: int, *args):
         return getattr(ctx._dec, "last_header_sizes", (0, 0))
     if ctrl_id in (VP9D_SET_ROW_MT, VP9D_SET_LOOP_FILTER_OPT):
         return VPX_CODEC_OK  # scheduling hints: device path decides
+    if ctrl_id == VP9D_GET_TILE_DATA:
+        # per-tile (byte_offset, size) spans of the last frame's payload
+        # (the reference's libvpx v1.9 predates this control; provided
+        # for tile-inspection tooling)
+        td = getattr(ctx._dec, "last_tile_data", None)
+        if td is None:
+            return VPX_CODEC_ERROR
+        return td
     return VPX_CODEC_INCAPABLE
 
 

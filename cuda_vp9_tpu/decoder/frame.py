@@ -104,6 +104,15 @@ class Vp9Decoder:
         self.last_ref_updates = 0
         self.skip_loop_filter = False
         self.last_ref_buf = None  # frame_refs[0] (VP8_COPY_REFERENCE)
+        self._last_payload = None
+
+    @property
+    def last_tile_data(self):
+        """Per-tile (byte_offset, size) spans into the last frame's
+        payload, raster order (VP9D_GET_TILE_DATA; the reference's
+        libvpx v1.9 predates this control — provided for tooling that
+        inspects tile boundaries)."""
+        return _tile_spans(self._last_payload, self._ref_sizes)
 
     # --------------------------------------------------------- hooks
 
@@ -159,6 +168,7 @@ class Vp9Decoder:
             raise BitstreamError(
                 "keyframe / intra-only frame required to reset decoder "
                 "state (resync)")
+        self._last_payload = payload
         hdr = parse_uncompressed_header(payload, ref_sizes=self._ref_sizes,
                                         dec_ctx=self)
         if hdr.show_existing_frame:
@@ -292,6 +302,27 @@ def decode_stream_md5(ivf_path: str, max_frames: int = 10 ** 9):
                     return
 
 
+def _tile_spans(payload, ref_sizes):
+    """Per-tile (byte_offset, size) spans of a frame payload, raster
+    order (VP9D_GET_TILE_DATA analog; the reference's libvpx v1.9
+    predates the control).  Returns None for show_existing / missing
+    payloads."""
+    if not payload:
+        return None
+    from .headers import parse_uncompressed_header
+    from .tiles import get_tile_buffers
+    try:
+        hdr = parse_uncompressed_header(payload, ref_sizes=ref_sizes)
+        if hdr.show_existing_frame:
+            return None
+        off = (hdr.uncompressed_header_size_in_bytes
+               + hdr.header_size_in_bytes)
+        spans = get_tile_buffers(payload, off, hdr)
+        return [(pos, size) for row in spans for (pos, size) in row]
+    except Exception:
+        return None
+
+
 class NativeVp9Decoder:
     """Vp9Decoder variant with the C++ host entropy decoder (native/)."""
 
@@ -324,6 +355,15 @@ class NativeVp9Decoder:
                 if self.ref_slots[i] else (0, 0)))
         return (hdr.uncompressed_header_size_in_bytes,
                 hdr.header_size_in_bytes)
+
+    @property
+    def last_tile_data(self):
+        """Per-tile (byte_offset, size) spans of the last frame's
+        payload (VP9D_GET_TILE_DATA)."""
+        def ref_sizes(i):
+            rb = self.ref_slots[i]
+            return (rb.width, rb.height) if rb else (0, 0)
+        return _tile_spans(self._last_payload, ref_sizes)
 
     def decode(self, data: bytes):
         try:

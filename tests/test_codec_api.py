@@ -176,3 +176,33 @@ def test_external_frame_buffers():
     assert len(got_calls) == len(got)
     vpx_codec_release_frame_buffers(ctx)
     assert sorted(released) == list(range(len(got)))
+
+
+def test_get_tile_data_control():
+    """VP9D_GET_TILE_DATA returns per-tile (offset, size) spans that
+    tile the frame payload after the headers (tl01 has 2 tile cols)."""
+    from cuda_vp9_tpu.codec import (VP9D_GET_TILE_DATA,
+                                    VP9D_GET_FRAME_HEADER_INFO,
+                                    VPX_CODEC_INCAPABLE)
+    name, ivf, _ = FIX["tl01_640x360_t2"]
+    ctx = CodecCtx()
+    assert vpx_codec_dec_init(ctx, _host_iface(), DecCfg()) == VPX_CODEC_OK
+    with IvfReader(str(ivf)) as r:
+        for data, _ in r:
+            assert vpx_codec_decode(ctx, data) == VPX_CODEC_OK
+            spans = vpx_codec_control(ctx, VP9D_GET_TILE_DATA)
+            assert spans is not None and spans != VPX_CODEC_INCAPABLE
+            assert len(spans) == 2  # 2 tile columns x 1 row
+            unc, comp = vpx_codec_control(ctx, VP9D_GET_FRAME_HEADER_INFO)
+            # first tile starts right after the headers (+4-byte size
+            # field for every tile but the last)
+            assert spans[0][0] in (unc + comp, unc + comp + 4)
+            # spans are in-bounds, ordered, non-overlapping
+            end = 0
+            for pos, size in spans:
+                assert pos >= end and size > 0
+                assert pos + size <= len(data)
+                end = pos + size
+            assert end == len(data)  # last tile runs to payload end
+            break
+    vpx_codec_destroy(ctx)
