@@ -10,6 +10,8 @@ and one-pass rate control, whose in-loop reconstruction is
 bit-identical to the decoder by construction.
 """
 
+import numpy as np
+
 from .decoder import Vp8Decoder, Vp8Error, Vp8KeyframeDecoder  # noqa: F401
 from .encoder import Vp8Encoder  # noqa: F401
 
@@ -31,6 +33,12 @@ class Vp8StreamDecoder:
         self.use_postproc = use_postproc
         self.postproc_cfg = None   # (flags, deblocking_level, noise_level)
         self._noise = None
+        # MFQE postproc state (postproc.c postproc_state): previous
+        # displayed frame (mb-aligned), q trail, frame counter
+        self._pp_prev = None
+        self._pp_last_q = 0
+        self._pp_last_valid = False
+        self._pp_frames = 0
 
     @property
     def frame_corrupt(self) -> bool:
@@ -43,18 +51,61 @@ class Vp8StreamDecoder:
             deblock_level, noise_level = 4, 0
         else:
             flags, deblock_level, noise_level = self.postproc_cfg
+        dec = self._dec
         if not flags:
+            self._pp_last_q = dec.pp_base_qindex
+            self._pp_last_valid = True
             return planes
         if self._noise is None:
             self._noise = pp.NoiseState()
-        return pp.post_proc_frame(
-            self._dec.pp_planes, self._dec.pp_skip,
-            self._dec.pp_filter_level, flags, deblock_level,
+        cur = dec.pp_planes
+        # MFQE gating (postproc.c:202-205): after a quality drop
+        # (qcurr - qlast >= 20 from a good frame) blend static blocks
+        # toward the previous displayed frame, then deblock the result
+        use_mfqe = (
+            (flags & pp.VP8D_MFQE) and self._pp_last_valid
+            and self._pp_prev is not None
+            and self._pp_frames > 10
+            and self._pp_last_q < 60
+            and dec.pp_base_qindex - self._pp_last_q >= 20
+            and self._pp_prev[0].shape == cur[0].shape)
+        if use_mfqe:
+            cur = pp.multiframe_quality_enhance(
+                cur, self._pp_prev, dec.pp_mode, dec.pp_mvs,
+                dec.pp_bmvs, dec.pp_skip, dec.pp_base_qindex,
+                self._pp_last_q, dec.pp_frame_type)
+            self._pp_last_q = (3 * self._pp_last_q
+                               + dec.pp_base_qindex) >> 2
+        else:
+            self._pp_last_q = dec.pp_base_qindex
+        self._pp_last_valid = True
+        out = pp.post_proc_frame(
+            cur, dec.pp_skip, dec.pp_filter_level,
+            flags & ~pp.VP8D_MFQE, deblock_level,
             noise_level, hdr.width, hdr.height, self._noise)
+        # remember the displayed frame mb-aligned for the next MFQE
+        # blend (pad region replicates edges; the reference keeps its
+        # own aligned post_proc_buffer)
+        if flags & pp.VP8D_MFQE:
+            h16, w16 = cur[0].shape
+            prev = []
+            for p, (hh, ww) in zip(out, ((h16, w16),
+                                         (h16 // 2, w16 // 2),
+                                         (h16 // 2, w16 // 2))):
+                c = np.zeros((hh, ww), np.uint8)
+                c[:p.shape[0], :p.shape[1]] = p
+                if p.shape[1] < ww:
+                    c[:p.shape[0], p.shape[1]:] = p[:, -1:]
+                if p.shape[0] < hh:
+                    c[p.shape[0]:, :] = c[p.shape[0] - 1, :]
+                prev.append(c)
+            self._pp_prev = prev
+        return out
 
     def decode(self, data: bytes) -> None:
         from ..decoder.frame import DecodedFrame
         hdr, planes = self._dec.decode(data)
+        self._pp_frames += 1
         if hdr.show_frame:
             if self.use_postproc:
                 planes = self._postproc(hdr, planes)

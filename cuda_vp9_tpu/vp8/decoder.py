@@ -893,6 +893,13 @@ class Vp8Decoder:
                           V[BC:BC + H16 // 2, BC:BC + W16 // 2])
         self.pp_skip = mb_skip
         self.pp_filter_level = hdr.filter_level
+        # MFQE inputs (vp8_multiframe_quality_enhance reads per-MB
+        # mode / mv / sub-MVs alongside mb_skip_coeff)
+        self.pp_mode = mi["mode"][1:mr + 1, 1:mc + 1].copy()
+        self.pp_mvs = mi["mvs"][1:mr + 1, 1:mc + 1].copy()
+        self.pp_bmvs = mi["bmvs"]
+        self.pp_base_qindex = hdr.base_qindex
+        self.pp_frame_type = hdr.frame_type
 
         y = Y[BY:BY + hdr.height, BY:BY + hdr.width].copy()
         u = U[BC:BC + (hdr.height + 1) // 2,

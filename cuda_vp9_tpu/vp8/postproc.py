@@ -23,8 +23,11 @@ write-delay buffers exist precisely so filtered pixels never feed the
 filter), and the demacroblock sliding window sums likewise read only
 pre-pass values (writes trail the window by 8), so each pass is a pure
 function of its input plane — bit-identical to the reference's
-in-place loops.  MFQE (multi-frame quality enhancement) is not
-implemented; its flag bit is ignored.
+in-place loops.  MFQE (multi-frame quality enhancement,
+vp8/common/mfqe.c) blends low-motion blocks toward the previous
+displayed frame after a quality drop — see
+multiframe_quality_enhance below; gating lives in
+Vp8StreamDecoder._postproc.
 """
 
 from __future__ import annotations
@@ -211,3 +214,162 @@ def post_proc_frame(planes_aligned, skip_map, filter_level, flags,
     if flags & VP8D_ADDNOISE:
         out[0] = noise_state.apply(out[0], q, noise_level)
     return [o.astype(np.uint8) for o in out]
+
+
+# ---------------------------------------------------------------- MFQE
+# Multiframe Quality Enhancement (vp8/common/mfqe.c): when a low-quality
+# frame follows higher-quality ones (keyframe "popping"), low-motion
+# blocks blend toward the previous displayed frame, weighted by the
+# block's difference-to-threshold ratio.
+
+MFQE_PRECISION = 4
+
+
+def _int_sqrt(x: np.ndarray) -> np.ndarray:
+    """mfqe.c int_sqrt: floor sqrt, +1 when guess^2+guess+1 <= x
+    (round-to-nearest on the open interval)."""
+    g = np.asarray(np.sqrt(x.astype(np.float64)), np.int64)
+    # float sqrt can land one high near perfect squares; clamp to floor
+    g = np.where(g * g > x, g - 1, g)
+    return g + (g * g + g + 1 <= x)
+
+
+def _bview(p: np.ndarray, bs: int) -> np.ndarray:
+    h, w = p.shape
+    return (p.reshape(h // bs, bs, w // bs, bs)
+            .transpose(0, 2, 1, 3).astype(np.int64))
+
+
+def _vpx_var(b: np.ndarray) -> np.ndarray:
+    """vpx_dsp variance (vs zeros): sse - (sum^2 >> log2 n)."""
+    n = b.shape[-1] * b.shape[-2]
+    s = b.sum((-1, -2))
+    sse = (b * b).sum((-1, -2))
+    return sse - ((s * s) >> int(np.log2(n)))
+
+
+def _ssd(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    d = a - b
+    return (d * d).sum((-1, -2))
+
+
+def _mfqe_weights(cy, py, cu, pu, cv, pv, qcurr, qprev, bs):
+    """Per-block MFQE blend weight in [0, 16] (16 = copy current).
+
+    cy/py: current/previous luma blocks [N, bs, bs]; cu/pu/cv/pv chroma
+    [N, bs/2, bs/2].  Mirrors multiframe_quality_enhance_block
+    (mfqe.c:108, USE_SSD variant) for blksize 16 and 8."""
+    sh = 8 if bs == 16 else 6
+    rnd = 1 << (sh - 1)
+    csh, crnd = sh - 2, rnd >> 2
+    actd = (_vpx_var(py) + rnd) >> sh
+    act = (_vpx_var(cy) + rnd) >> sh
+    sad = (_ssd(cy, py) + rnd) >> sh
+    usad = (_ssd(cu, pu) + crnd) >> csh
+    vsad = (_ssd(cv, pv) + crnd) >> csh
+    actrisk = actd > act * 5
+    # thr = qdiff/16 + log2(actd) + log4(qprev)
+    thr = np.full(actd.shape, (qcurr - qprev) >> 4, np.int64)
+    a = actd.copy()
+    while np.any(a):
+        a >>= 1
+        thr += a > 0
+    qp = qprev
+    while qp >> 2:
+        qp >>= 2
+        thr += 1
+    thrsq = thr * thr
+    qualify = ((sad < thrsq) & (4 * usad < thrsq) & (4 * vsad < thrsq)
+               & ~actrisk)
+    ifactor = (_int_sqrt(sad) << MFQE_PRECISION) // np.maximum(thr, 1)
+    ifactor >>= (qcurr - qprev) >> 5
+    # qualified: blend with src_weight=ifactor (0 = keep previous);
+    # unqualified: copy current (weight 16)
+    return np.where(qualify, ifactor, 1 << MFQE_PRECISION)
+
+
+def _qualify_inter_mb(mode, mv, bmvs, skip):
+    """mfqe.c qualify_inter_mb for one MB: returns map[4] (quadrant
+    raster order).  Replicates the original's quirks: SPLITMV's inner
+    loop gates on map[j] (not map[i]) and compares sub-MVs unsigned-
+    upper-bound only (no abs)."""
+    if skip:
+        return [1, 1, 1, 1]
+    if mode == 9:  # SPLITMV
+        ndx = ((0, 1, 4, 5), (2, 3, 6, 7), (8, 9, 12, 13), (10, 11, 14, 15))
+        m = [0, 0, 0, 0]
+        for i in range(4):
+            m[i] = 1
+            j = 0
+            while j < 4 and m[j]:
+                b = bmvs[ndx[i][j]]
+                m[i] &= int(b[0] <= 2 and b[1] <= 2)
+                j += 1
+        return m
+    ok = int(mode > 4 and abs(int(mv[0])) <= 2 and abs(int(mv[1])) <= 2)
+    return [ok] * 4
+
+
+def multiframe_quality_enhance(cur, prev, mode, mvs, bmvs, skip,
+                               qcurr, qprev, frame_type):
+    """vp8_multiframe_quality_enhance (mfqe.c:236): blend the current
+    frame toward the previous displayed frame on low-motion blocks.
+
+    cur/prev: mb-aligned [Y, U, V] uint8 planes (same shapes); mode/
+    mvs [mr, mc(,2)], bmvs [mr, mc, 16, 2], skip [mr, mc] per-MB info;
+    returns new aligned planes."""
+    mr, mc = skip.shape
+    y, u, v = (p.astype(np.int64) for p in cur)
+    py, pu, pv = (p.astype(np.int64) for p in prev)
+
+    # qualification maps (quadrant granularity)
+    if frame_type == 0:     # key frame: everything qualifies at MB level
+        map4 = np.ones((mr, mc, 4), np.int64)
+    else:
+        map4 = np.zeros((mr, mc, 4), np.int64)
+        inter_ok = ((mode > 4) & (mode != 9)
+                    & (np.abs(mvs[..., 0]) <= 2)
+                    & (np.abs(mvs[..., 1]) <= 2))
+        map4[:] = inter_ok[:, :, None]
+        map4[skip] = 1
+        for r, c in zip(*np.nonzero((mode == 9) & ~skip)):
+            map4[r, c] = _qualify_inter_mb(9, mvs[r, c], bmvs[r, c], False)
+    totmap = map4.sum(-1)
+
+    # 16x16-granularity weights (totmap == 4), 8x8 for partial MBs
+    w16 = _mfqe_weights(
+        _bview(y, 16).reshape(-1, 16, 16),
+        _bview(py, 16).reshape(-1, 16, 16),
+        _bview(u, 8).reshape(-1, 8, 8), _bview(pu, 8).reshape(-1, 8, 8),
+        _bview(v, 8).reshape(-1, 8, 8), _bview(pv, 8).reshape(-1, 8, 8),
+        qcurr, qprev, 16).reshape(mr, mc)
+    # 8x8 blocks in quadrant order: y8 view is [mr*2, mc*2] raster;
+    # quadrant q of MB (r, c) is y8[2r + q//2, 2c + q%2]
+    w8 = _mfqe_weights(
+        _bview(y, 8).reshape(-1, 8, 8), _bview(py, 8).reshape(-1, 8, 8),
+        _bview(u, 4).reshape(-1, 4, 4), _bview(pu, 4).reshape(-1, 4, 4),
+        _bview(v, 4).reshape(-1, 4, 4), _bview(pv, 4).reshape(-1, 4, 4),
+        qcurr, qprev, 8).reshape(mr * 2, mc * 2)
+
+    # assemble the final per-8x8-luma weight map
+    W = np.empty((mr * 2, mc * 2), np.int64)
+    q16 = np.repeat(np.repeat(w16, 2, axis=0), 2, axis=1)
+    t2 = np.repeat(np.repeat(totmap, 2, axis=0), 2, axis=1)
+    m2 = np.empty((mr * 2, mc * 2), np.int64)
+    m2[0::2, 0::2] = map4[..., 0]
+    m2[0::2, 1::2] = map4[..., 1]
+    m2[1::2, 0::2] = map4[..., 2]
+    m2[1::2, 1::2] = map4[..., 3]
+    COPY = 1 << MFQE_PRECISION
+    W = np.where(t2 == 4, q16,                    # whole-MB blend
+                 np.where(t2 == 0, COPY,          # copy current
+                          np.where(m2 == 1, w8, COPY)))
+
+    def blend(curp, prevp, bs):
+        wmap = np.repeat(np.repeat(W, bs, axis=0), bs, axis=1)
+        wmap = wmap[:curp.shape[0], :curp.shape[1]]
+        rb = 1 << (MFQE_PRECISION - 1)
+        return ((curp * wmap + prevp * (COPY - wmap) + rb)
+                >> MFQE_PRECISION).astype(np.uint8)
+
+    return [blend(y, py, 8), blend(u, pu, 4), blend(v, pv, 4)]

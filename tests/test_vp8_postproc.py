@@ -131,3 +131,215 @@ def test_postproc_vp9_incapable():
     assert vpx_codec_dec_init(ctx2, vp9_dx(), DecCfg()) == VPX_CODEC_OK
     assert vpx_codec_control(ctx2, VP8_SET_POSTPROC, PostProcCfg(1)) \
         == VPX_CODEC_INCAPABLE
+
+
+# ------------------------------------------------------------------ MFQE
+
+
+def _mfqe_block_scalar(bs, qcurr, qprev, y, u, v, yd, ud, vd):
+    """Direct transcription of multiframe_quality_enhance_block
+    (mfqe.c:108, USE_SSD variant).  y/u/v = current, yd/ud/vd =
+    previous (dest); returns the blended (yd, ud, vd)."""
+    def var(b):
+        n = b.size
+        s = int(b.sum())
+        sse = int((b.astype(np.int64) ** 2).sum())
+        return sse - ((s * s) >> int(np.log2(n)))
+
+    def ssd(a, b):
+        return int(((a.astype(np.int64) - b.astype(np.int64)) ** 2).sum())
+
+    qdiff = qcurr - qprev
+    if bs == 16:
+        actd = (var(yd) + 128) >> 8
+        act = (var(y) + 128) >> 8
+        sad = (ssd(y, yd) + 128) >> 8
+        usad = (ssd(u, ud) + 32) >> 6
+        vsad = (ssd(v, vd) + 32) >> 6
+    else:
+        actd = (var(yd) + 32) >> 6
+        act = (var(y) + 32) >> 6
+        sad = (ssd(y, yd) + 32) >> 6
+        usad = (ssd(u, ud) + 8) >> 4
+        vsad = (ssd(v, vd) + 8) >> 4
+    actrisk = actd > act * 5
+    thr = qdiff >> 4
+    a = actd
+    while a >> 1:
+        a >>= 1
+        thr += 1
+    qp = qprev
+    while qp >> 2:
+        qp >>= 2
+        thr += 1
+    thrsq = thr * thr
+    if sad < thrsq and 4 * usad < thrsq and 4 * vsad < thrsq \
+            and not actrisk:
+        g = 0
+        x = sad
+        p = 1
+        yv = x
+        while yv >> 1:
+            yv >>= 1
+            p += 1
+        p >>= 1
+        while p >= 0:
+            g |= 1 << p
+            if x < g * g:
+                g -= 1 << p
+            p -= 1
+        g += g * g + g + 1 <= x
+        ifactor = (g << 4) // thr
+        ifactor >>= qdiff >> 5
+        if ifactor:
+            w, dw = ifactor, 16 - ifactor
+            blend = lambda s, d: ((s.astype(np.int64) * w
+                                   + d.astype(np.int64) * dw + 8) >> 4)
+            return blend(y, yd), blend(u, ud), blend(v, vd)
+        return yd.copy(), ud.copy(), vd.copy()
+    return y.copy(), u.copy(), v.copy()
+
+
+def test_mfqe_matches_scalar_blocks():
+    """Vectorized MFQE vs per-MB scalar transcription on a keyframe
+    (every MB qualifies -> all 16x16 blocks exercised) with a mix of
+    similar and dissimilar content."""
+    rng = np.random.default_rng(11)
+    mr, mc = 4, 6
+    H, W = mr * 16, mc * 16
+    cur_y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    # previous frame: half the MBs nearly identical (blend candidates),
+    # half random (rejected by the sad/thr test)
+    prev_y = cur_y.copy()
+    prev_y[:, W // 2:] = rng.integers(0, 256, (H, W // 2))
+    jitter = rng.integers(-2, 3, (H, W // 2))
+    prev_y[:, :W // 2] = np.clip(
+        cur_y[:, :W // 2].astype(int) + jitter, 0, 255)
+    cur_u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    cur_v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    prev_u = np.clip(cur_u.astype(int)
+                     + rng.integers(-2, 3, cur_u.shape), 0,
+                     255).astype(np.uint8)
+    prev_v = np.clip(cur_v.astype(int)
+                     + rng.integers(-2, 3, cur_v.shape), 0,
+                     255).astype(np.uint8)
+    qcurr, qprev = 80, 40
+    mode = np.zeros((mr, mc), np.int64)
+    mvs = np.zeros((mr, mc, 2), np.int64)
+    bmvs = np.zeros((mr, mc, 16, 2), np.int64)
+    skip = np.zeros((mr, mc), bool)
+    got = pp.multiframe_quality_enhance(
+        [cur_y, cur_u, cur_v], [prev_y, prev_u, prev_v],
+        mode, mvs, bmvs, skip, qcurr, qprev, frame_type=0)
+    blended = copied = 0
+    for r in range(mr):
+        for c in range(mc):
+            wy, wu, wv = _mfqe_block_scalar(
+                16, qcurr, qprev,
+                cur_y[r * 16:r * 16 + 16, c * 16:c * 16 + 16],
+                cur_u[r * 8:r * 8 + 8, c * 8:c * 8 + 8],
+                cur_v[r * 8:r * 8 + 8, c * 8:c * 8 + 8],
+                prev_y[r * 16:r * 16 + 16, c * 16:c * 16 + 16],
+                prev_u[r * 8:r * 8 + 8, c * 8:c * 8 + 8],
+                prev_v[r * 8:r * 8 + 8, c * 8:c * 8 + 8])
+            assert np.array_equal(
+                got[0][r * 16:r * 16 + 16, c * 16:c * 16 + 16], wy), (r, c)
+            assert np.array_equal(
+                got[1][r * 8:r * 8 + 8, c * 8:c * 8 + 8], wu), (r, c)
+            assert np.array_equal(
+                got[2][r * 8:r * 8 + 8, c * 8:c * 8 + 8], wv), (r, c)
+            if not np.array_equal(
+                    wy, cur_y[r * 16:r * 16 + 16, c * 16:c * 16 + 16]):
+                blended += 1
+            else:
+                copied += 1
+    assert blended > 0 and copied > 0  # both paths exercised
+
+
+def test_mfqe_inter_qualification():
+    """Inter frames: only low-motion inter MBs (or skipped MBs) blend;
+    intra and high-motion MBs copy the current frame."""
+    rng = np.random.default_rng(12)
+    mr, mc = 2, 4
+    H, W = mr * 16, mc * 16
+    cur = [rng.integers(0, 256, (H, W)).astype(np.uint8),
+           rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8),
+           rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)]
+    # previous nearly identical everywhere -> qualification decides
+    prev = [np.clip(p.astype(int) + rng.integers(-1, 2, p.shape),
+                    0, 255).astype(np.uint8) for p in cur]
+    mode = np.zeros((mr, mc), np.int64)
+    mvs = np.zeros((mr, mc, 2), np.int64)
+    bmvs = np.zeros((mr, mc, 16, 2), np.int64)
+    skip = np.zeros((mr, mc), bool)
+    mode[:] = 0          # intra (DC_PRED) -> copy
+    mode[0, 1] = 7       # ZEROMV, zero motion -> qualifies
+    mode[0, 2] = 8       # NEWMV with big motion -> copy
+    mvs[0, 2] = (40, 40)
+    skip[0, 3] = True    # skipped -> qualifies regardless of mode
+    got = pp.multiframe_quality_enhance(cur, prev, mode, mvs, bmvs,
+                                        skip, 80, 40, frame_type=1)
+
+    def mb(p, r, c, bs):
+        return p[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs]
+
+    # intra + high motion MBs: copy current exactly
+    for c in (0, 2):
+        assert np.array_equal(mb(got[0], 0, c, 16), mb(cur[0], 0, c, 16))
+    # zero-motion + skip MBs: blended toward previous (differ from cur)
+    for c in (1, 3):
+        assert not np.array_equal(mb(got[0], 0, c, 16),
+                                  mb(cur[0], 0, c, 16))
+
+
+def test_mfqe_stream_gating():
+    """Vp8StreamDecoder applies MFQE only after >10 frames, from a
+    good-quality trail (last q < 60), on a >= 20 q jump."""
+    from cuda_vp9_tpu.vp8 import Vp8StreamDecoder
+
+    class FakeDec:
+        pass
+
+    rng = np.random.default_rng(13)
+    H, W = 32, 48
+    sd = Vp8StreamDecoder.__new__(Vp8StreamDecoder)
+    sd._out = []
+    sd.use_postproc = True
+    sd.postproc_cfg = (pp.VP8D_MFQE, 4, 0)
+    sd._noise = None
+    sd._pp_prev = None
+    sd._pp_last_q = 40
+    sd._pp_last_valid = True
+    sd._pp_frames = 20
+    d = FakeDec()
+    d.pp_planes = (rng.integers(0, 256, (H, W)).astype(np.uint8),
+                   rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8),
+                   rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8))
+    d.pp_skip = np.ones((H // 16, W // 16), bool)
+    d.pp_filter_level = 20
+    d.pp_mode = np.zeros((H // 16, W // 16), np.int64)
+    d.pp_mvs = np.zeros((H // 16, W // 16, 2), np.int64)
+    d.pp_bmvs = np.zeros((H // 16, W // 16, 16, 2), np.int64)
+    d.pp_base_qindex = 80
+    d.pp_frame_type = 1
+    sd._dec = d
+
+    class Hdr:
+        width, height = W, H
+
+    # no previous displayed frame yet -> MFQE skipped, q trail resets
+    out1 = sd._postproc(Hdr, None)
+    assert sd._pp_last_q == 80 and sd._pp_prev is not None
+    # now a quality drop from a good trail on slightly-changed content:
+    # MFQE engages and blends toward the previous displayed frame
+    cur2 = tuple(np.clip(p.astype(int)
+                         + rng.integers(-2, 3, p.shape), 0,
+                         255).astype(np.uint8) for p in d.pp_planes)
+    d.pp_planes = cur2
+    sd._pp_last_q = 30
+    out2 = sd._postproc(Hdr, None)
+    # blended q trail moves partially toward current (3*30+80)>>2 = 42
+    assert sd._pp_last_q == (3 * 30 + 80) >> 2
+    # output is neither the raw current frame (blend happened) nor the
+    # previous frame (unless weight 0 everywhere)
+    assert not np.array_equal(out2[0], cur2[0][:H, :W])
