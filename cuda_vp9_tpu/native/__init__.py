@@ -73,8 +73,8 @@ class _PackIn(ct.Structure):
         ("total_len", ct.c_int64),
         ("lossless", ct.c_int32), ("ring_slot", ct.c_int32),
         ("ha", ct.c_int32), ("lf_k", ct.c_int32),
-        ("coeff_off", ct.c_int64 * 7), ("cpos_off", ct.c_int64 * 7),
-        ("coeff_cap", ct.c_int64 * 7),
+        ("coeff_off", ct.c_int64 * 11), ("cpos_off", ct.c_int64 * 11),
+        ("coeff_cap", ct.c_int64 * 11),
         ("mc_off", ct.c_int64 * 3), ("mch_off", ct.c_int64 * 3),
         ("mc_cap", ct.c_int64 * 3),
         ("intra_off", ct.c_int64), ("chunkbs_off", ct.c_int64),
@@ -83,7 +83,7 @@ class _PackIn(ct.Structure):
         ("misc_off", ct.c_int64),
         ("crop", ((ct.c_int32 * 2) * 3) * 3),
         ("highbd", ct.c_int32),
-        ("coeffh_off", ct.c_int64 * 7),
+        ("coeffh_off", ct.c_int64 * 11),
         # scaled-reference "mcs" class (tier "scaled"; mcs_cap 0 = absent)
         ("mcs_off", ct.c_int64), ("mcsh_off", ct.c_int64),
         ("mcs_cap", ct.c_int64),
@@ -91,7 +91,8 @@ class _PackIn(ct.Structure):
     ]
 
 
-_COEFF_NAMES = ("tx0", "tx1", "tx2s", "tx2d", "tx3s", "tx3m", "tx3d")
+_COEFF_NAMES = ("tx0s", "tx0", "tx1s", "tx1", "tx2xs", "tx2s",
+                "tx2d", "tx3xs", "tx3s", "tx3m", "tx3d")
 
 
 _lib = None

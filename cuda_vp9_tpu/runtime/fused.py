@@ -424,12 +424,13 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         misc = seg("misc")
         F = jnp.zeros((3, ha, wa), I32)
         R = jnp.zeros((3, ha, wa), I32)
-        from .pack import COEFF_BUCKETS, COEFF_CHUNK
+        from .pack import COEFF_BUCKETS, COEFF_CHUNK, MISC_TRIP
         # residual transforms: fori_loop over fixed-size chunks with a
-        # TRACED trip count (misc[16+b]) so per-frame transform cost
-        # tracks actual coded content, not the bucket capacity (typical
-        # frames fill 10-25% of the caps; the butterfly chains are
-        # bandwidth-bound so capacity work is pure waste)
+        # TRACED trip count (misc[MISC_TRIP[bucket]]) so per-frame
+        # transform cost tracks actual coded content, not the bucket
+        # capacity (typical frames fill 10-25% of the caps; the
+        # butterfly chains are bandwidth-bound so capacity work is pure
+        # waste)
         cdt = jnp.int16 if bd == 8 else I32
         for bi, (name, tx, ncoef) in enumerate(COEFF_BUCKETS):
             if lossless and name != "tx0":
@@ -462,7 +463,7 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                     cm = full.at[ci, idx].set(cm)
                 return _residual_pass(R, cm, pos, tx, lossless, bd)
 
-            R = jax.lax.fori_loop(0, misc[16 + bi], body, R)
+            R = jax.lax.fori_loop(0, misc[MISC_TRIP[name]], body, R)
         br = min(160, pha)
         F = _mc_pass(F, pool, kernels, seg("mc4"), seg("mc4h"),
                      misc[0], misc[23], 4, 4, br, bd)
@@ -475,8 +476,11 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
             # a scaled first reference see their ref0 prediction)
             F = _mcs_pass(F, pool, kernels, seg("mcs"), seg("mcsh"),
                           misc[14], misc[15], br, bd)
-        # inter residual add over non-skip inter mi cells
-        m = seg("mi_mask")
+        # inter residual add over non-skip inter mi cells (mask ships
+        # bit-packed: 16 mi cells per int16 word)
+        mp = seg("mi_mask")
+        m = ((mp[:, :, None] >> jnp.arange(16, dtype=I32)[None, None, :])
+             & 1).reshape(mi_rows, -1)[:, :mi_cols]
         mask = jnp.zeros((3, ha, wa), jnp.bool_)
         y8 = jnp.repeat(jnp.repeat(m, 8, axis=0), 8, axis=1) != 0
         mask = mask.at[0, :mi_rows * 8, :mi_cols * 8].set(y8)

@@ -59,22 +59,35 @@ def cdiv(a, b):
     return (a + b - 1) // b
 
 
-# Coefficient buckets: (name, tx_size, shipped coeff count).  tx2/tx3
-# units ship only their first-N scan-order coefficients when eob allows
-# (N < n*n), spilling to the next-larger bucket when a bucket fills.
+# Coefficient buckets: (name, tx_size, shipped coeff count).  Units
+# ship only their first-N scan-order coefficients when eob allows
+# (N < n*n), spilling to the next-larger bucket of the same tx size
+# when a bucket fills.  The sub-16-coefficient buckets exist because
+# real streams are eob-light (measured on the bench stream: median eob
+# 1-4 in every sparse class) — they cut the shipped coefficient bytes
+# ~4x, and the host->device link is the decode bottleneck.
 COEFF_BUCKETS = (
-    ("tx0", 0, 16),
-    ("tx1", 1, 64),
-    ("tx2s", 2, 64), ("tx2d", 2, 256),
-    ("tx3s", 3, 64), ("tx3m", 3, 256), ("tx3d", 3, 1024),
+    ("tx0s", 0, 4), ("tx0", 0, 16),
+    ("tx1s", 1, 8), ("tx1", 1, 64),
+    ("tx2xs", 2, 16), ("tx2s", 2, 64), ("tx2d", 2, 256),
+    ("tx3xs", 3, 16), ("tx3s", 3, 64), ("tx3m", 3, 256), ("tx3d", 3, 1024),
 )
 
 # Chunk length per coeff bucket: the fused step runs the inverse
 # transforms in a fori_loop over chunks with a TRACED trip count
-# (misc[16+b]), so per-frame transform cost tracks actual content
-# instead of the bucket capacity.  Caps round up to a chunk multiple.
-COEFF_CHUNK = {"tx0": 1024, "tx1": 256, "tx2s": 128, "tx2d": 64,
-               "tx3s": 64, "tx3m": 32, "tx3d": 16}
+# (misc[MISC_TRIP[name]]), so per-frame transform cost tracks actual
+# content instead of the bucket capacity.  Caps round up to a chunk
+# multiple.
+COEFF_CHUNK = {"tx0s": 1024, "tx0": 1024, "tx1s": 256, "tx1": 256,
+               "tx2xs": 128, "tx2s": 128, "tx2d": 64,
+               "tx3xs": 64, "tx3s": 64, "tx3m": 32, "tx3d": 16}
+
+# misc[] slot carrying each bucket's residual-loop trip count (16..22
+# are the original seven; 23-25 hold the mc n_ref0 counts, so the
+# sub-buckets take 26..29)
+MISC_TRIP = {"tx0": 16, "tx1": 17, "tx2s": 18, "tx2d": 19,
+             "tx3s": 20, "tx3m": 21, "tx3d": 22,
+             "tx0s": 26, "tx1s": 27, "tx2xs": 28, "tx3xs": 29}
 
 last_overflow = None  # (segment, needed, cap) of the most recent fallback
 
@@ -107,10 +120,14 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
     if tier == "full":
         # intra-only frames must NEVER overflow: worst-case everywhere
         # (sparse buckets stay tiny; dense buckets take the worst case)
+        caps["tx0s"] = worst[0]
         caps["tx0"] = worst[0]
+        caps["tx1s"] = max(64, worst[1] >> 1)
         caps["tx1"] = worst[1]
+        caps["tx2xs"] = max(8, worst[2] >> 3)
         caps["tx2s"] = max(8, worst[2] >> 3)
         caps["tx2d"] = worst[2]
+        caps["tx3xs"] = max(8, worst[3] >> 3)
         caps["tx3s"] = max(8, worst[3] >> 3)
         caps["tx3m"] = max(8, worst[3] >> 2)
         caps["tx3d"] = worst[3]
@@ -136,10 +153,14 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             # ~70 s); 3x covers every dense frame seen in practice, and
             # truly pathological frames still decode bit-exact on the
             # host oracle.
+            caps["tx0s"] = min(worst[0], max(64, worst[0] * 9 // 8))
             caps["tx0"] = min(worst[0], max(64, worst[0] * 9 // 8))
+            caps["tx1s"] = min(worst[1], max(64, worst[1] * 3 // 2))
             caps["tx1"] = min(worst[1], max(64, worst[1] * 3 // 2))
+            caps["tx2xs"] = min(worst[2], max(64, worst[2] * 3 // 2))
             caps["tx2s"] = min(worst[2], max(64, worst[2] * 3 // 2))
             caps["tx2d"] = min(worst[2], max(16, worst[2] * 3 // 4))
+            caps["tx3xs"] = worst[3]
             caps["tx3s"] = worst[3]
             caps["tx3m"] = min(worst[3], max(8, worst[3] * 3 // 4))
             caps["tx3d"] = min(worst[3], max(16, worst[3] * 3 // 4))
@@ -148,10 +169,14 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
             caps["intra"] = cdiv(total44 * 3 // 4, CHUNK_INTRA) + 256
         else:
+            caps["tx0s"] = max(64, worst[0] * 3 // 8)
             caps["tx0"] = worst[0] if lossless else max(64, worst[0] * 3 // 8)
+            caps["tx1s"] = max(64, worst[1] >> 1)
             caps["tx1"] = max(64, worst[1] >> 1)
+            caps["tx2xs"] = max(64, worst[2] >> 1)
             caps["tx2s"] = max(64, worst[2] >> 1)
             caps["tx2d"] = max(16, worst[2] >> 2)
+            caps["tx3xs"] = worst[3]
             caps["tx3s"] = worst[3]
             caps["tx3m"] = max(8, worst[3] >> 2)
             caps["tx3d"] = max(16, worst[3] >> 2)
@@ -207,7 +232,10 @@ def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8) -> FlatLayout:
         L.add("mcsh", (caps["mcs"], 4))
     L.add("intra", (caps["intra"], CHUNK_INTRA, 9))
     L.add("chunk_bs", (caps["intra"],))
-    L.add("mi_mask", (mi_rows, mi_cols))
+    # inter-residual mask, bit-packed 16 mi cells per int16 (the mask
+    # is dense-ish, so at int16-per-cell it was a fixed ~7 KB/frame of
+    # upload at SD; packed it is ~0.5 KB)
+    L.add("mi_mask", (mi_rows, cdiv(mi_cols, 16)))
     # packed loop-filter metadata for the pallas kernel
     # (ops/pallas/loopfilter.pack_lfm_fields layout)
     from ..ops.pallas.loopfilter import K as LF_K
@@ -808,8 +836,16 @@ def pack_frame(plan, refs, caps, layout, pool_ha=None):
         return None
     lf_on = _pack_lf(plan, caps, layout, buf)
     mi = plan.mi
-    layout.view(buf, "mi_mask")[:] = \
-        (mi.ref[:, :, 0] > C.INTRA_FRAME) & (mi.skip == 0)
+    mm = ((mi.ref[:, :, 0] > C.INTRA_FRAME)
+          & (mi.skip == 0)).astype(np.uint16)
+    mi_rows, mi_cols = mm.shape
+    pc = cdiv(mi_cols, 16)
+    mmp = np.zeros((mi_rows, pc * 16), np.uint16)
+    mmp[:, :mi_cols] = mm
+    packed = np.zeros((mi_rows, pc), np.uint16)
+    for b in range(16):
+        packed |= mmp[:, b::16] << b
+    layout.view(buf, "mi_mask")[:] = packed.astype(np.int16)
     misc = layout.view(buf, "misc")
     misc[0] = nmc[0]
     misc[1] = nmc[1]
@@ -818,10 +854,10 @@ def pack_frame(plan, refs, caps, layout, pool_ha=None):
     misc[4] = lf_on
     for i in range(8):
         misc[5 + i] = (hdr.refresh_frame_flags >> i) & 1
-    # misc[16..22]: residual fori_loop trip count per coeff bucket
-    # (cdiv(filled units, chunk); unit counts can exceed int16 at 4K)
+    # misc[MISC_TRIP[name]]: residual fori_loop trip count per coeff
+    # bucket (cdiv(filled units, chunk))
     for b, (name, _, _) in enumerate(COEFF_BUCKETS):
-        misc[16 + b] = cdiv(ncoeff[b], COEFF_CHUNK[name])
+        misc[MISC_TRIP[name]] = cdiv(ncoeff[b], COEFF_CHUNK[name])
     # misc[23..25]: first compound-average chunk per MC class (chunks
     # before it are unique-destination first-reference predictions)
     for i in range(3):
