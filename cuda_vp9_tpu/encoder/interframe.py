@@ -30,12 +30,54 @@ from .bitwriter import BitWriter, BoolEncoder, tree_paths
 
 _PARTITION_PATHS = tree_paths(M.PARTITION_TREE)
 _INTER_MODE_PATHS = tree_paths(M.INTER_MODE_TREE)
+_MV_JOINT_PATHS = tree_paths(M.MV_JOINT_TREE)
+_MV_CLASS_PATHS = tree_paths(M.MV_CLASS_TREE)
+_MV_FP_PATHS = tree_paths(M.MV_FP_TREE)
+
+
+def _write_mv_component(w, fc, comp: int, v: int) -> None:
+    """Encode one nonzero MV-difference component (1/8-pel units, EVEN
+    magnitude: the writer emits allow_high_precision_mv=0 frames, so the
+    hp bit is implied 1 and |v| must be even — read_mv_component parity,
+    decoder/decodemv.py:384)."""
+    sign = 1 if v < 0 else 0
+    mag = -v if sign else v
+    assert mag > 0 and (mag & 1) == 0, "hp-less MV diffs must be even"
+    z = mag - 1
+    c, o = decodemv._get_mv_class(z)
+    d, f, e = o >> 3, (o >> 1) & 3, o & 1
+    assert e == 1  # implied by even magnitude
+    w.write(sign, int(fc.mv_sign[comp]))
+    w.write_tree(M.MV_CLASS_TREE, fc.mv_classes[comp].tolist(),
+                 _MV_CLASS_PATHS, c)
+    if c == 0:
+        w.write(d, int(fc.mv_class0[comp][0]))
+    else:
+        for i in range(c + C.CLASS0_BITS - 1):
+            w.write((d >> i) & 1, int(fc.mv_bits[comp][i]))
+    fp = fc.mv_class0_fp[comp][d] if c == 0 else fc.mv_fp[comp]
+    w.write_tree(M.MV_FP_TREE, fp.tolist(), _MV_FP_PATHS, f)
+    # usehp False: no hp bit (decoder substitutes 1)
+
+
+def _write_mv(w, fc, diff) -> None:
+    """Encode an MV difference (joint + components), read_mv parity."""
+    dr, dc = diff
+    joint = ((C.MV_JOINT_HNZVNZ if dc else C.MV_JOINT_HZVNZ) if dr
+             else (C.MV_JOINT_HNZVZ if dc else C.MV_JOINT_ZERO))
+    w.write_tree(M.MV_JOINT_TREE, fc.mv_joints.tolist(),
+                 _MV_JOINT_PATHS, joint)
+    if dr:
+        _write_mv_component(w, fc, 0, dr)
+    if dc:
+        _write_mv_component(w, fc, 1, dc)
 
 
 def write_inter_zeromv_frame(width: int, height: int, base_qindex: int = 60,
                              ref_slot: int = 0, refresh_flags: int = 0,
                              profile: int = 0, bit_depth: int = 8,
-                             compound_slots: tuple | None = None) -> bytes:
+                             compound_slots: tuple | None = None,
+                             mv_fn=None, show_frame: int = 1) -> bytes:
     """One show_frame=1 error-resilient inter frame, all-ZEROMV-skip.
 
     The frame references `ref_slot` for LAST/GOLDEN/ALTREF; its size may
@@ -50,11 +92,12 @@ def write_inter_zeromv_frame(width: int, height: int, base_qindex: int = 60,
     references — the compound prediction path end to end."""
     hdr = _make_header(width, height, base_qindex, ref_slot, refresh_flags,
                        profile, bit_depth, compound_slots)
+    hdr.show_frame = show_frame
     fc = M.FrameContext.default()
     st = _make_state(hdr, fc, compound=compound_slots is not None)
 
     comp = _compressed_header_inter(compound=compound_slots is not None)
-    tile = _write_tile(st, hdr, fc)
+    tile = _write_tile(st, hdr, fc, mv_fn)
     unc = _uncompressed_header(hdr, len(comp))
     return unc + comp + tile
 
@@ -150,8 +193,10 @@ def _uncompressed_header(hdr: FrameHeader, comp_size: int) -> bytes:
     wb.write_bit((hdr.profile >> 1) & 1)
     wb.write_bit(0)                    # show_existing_frame
     wb.write_bit(1)                    # frame_type: non-key
-    wb.write_bit(1)                    # show_frame
+    wb.write_bit(hdr.show_frame)
     wb.write_bit(hdr.error_resilient_mode)
+    if not hdr.show_frame:
+        wb.write_bit(0)                # intra_only = 0 (hidden inter)
     if not hdr.error_resilient_mode:
         wb.f(0, 2)                     # reset_frame_context = 0
     wb.f(hdr.refresh_frame_flags, 8)
@@ -239,7 +284,8 @@ def _compressed_header_inter(compound=False) -> bytes:
     return w.stop()
 
 
-def _write_tile(st: FrameParseState, hdr: FrameHeader, fc) -> bytes:
+def _write_tile(st: FrameParseState, hdr: FrameHeader, fc,
+                mv_fn=None) -> bytes:
     tile_cols = 1 << hdr.log2_tile_cols
     chunks = []
     partition_probs = fc.partition.tolist()
@@ -253,7 +299,7 @@ def _write_tile(st: FrameParseState, hdr: FrameHeader, fc) -> bytes:
             st.zero_left_ctx()
             for mi_col in range(col_start, col_end, C.MI_BLOCK_SIZE):
                 _encode_partition(st, xd, w, partition_probs, mi_row,
-                                  mi_col, C.BLOCK_64X64, 4)
+                                  mi_col, C.BLOCK_64X64, 4, mv_fn)
         chunks.append(w.stop())
     out = bytearray()
     for i, c in enumerate(chunks):
@@ -268,7 +314,8 @@ def _tile_offset(idx, mis, log2):
     return min(((idx * sb_cols) >> log2) << C.MI_BLOCK_SIZE_LOG2, mis)
 
 
-def _encode_partition(st, xd, w, probs_all, mi_row, mi_col, bsize, n4x4_l2):
+def _encode_partition(st, xd, w, probs_all, mi_row, mi_col, bsize,
+                      n4x4_l2, mv_fn=None):
     if mi_row >= st.mi_rows or mi_col >= st.mi_cols:
         return
     n8x8_l2 = n4x4_l2 - 1
@@ -290,23 +337,26 @@ def _encode_partition(st, xd, w, probs_all, mi_row, mi_col, bsize, n4x4_l2):
     subsize = int(M.SUBSIZE_LOOKUP[partition][bsize])
     if partition == C.PARTITION_NONE:
         _encode_block(st, xd, w, mi_row, mi_col, subsize,
-                      max(n4x4_l2, 1), max(n4x4_l2, 1))
+                      max(n4x4_l2, 1), max(n4x4_l2, 1), mv_fn)
     else:
         _encode_partition(st, xd, w, probs_all, mi_row, mi_col, subsize,
-                          n8x8_l2)
+                          n8x8_l2, mv_fn)
         _encode_partition(st, xd, w, probs_all, mi_row, mi_col + hbs,
-                          subsize, n8x8_l2)
+                          subsize, n8x8_l2, mv_fn)
         _encode_partition(st, xd, w, probs_all, mi_row + hbs, mi_col,
-                          subsize, n8x8_l2)
+                          subsize, n8x8_l2, mv_fn)
         _encode_partition(st, xd, w, probs_all, mi_row + hbs, mi_col + hbs,
-                          subsize, n8x8_l2)
+                          subsize, n8x8_l2, mv_fn)
     if bsize >= C.BLOCK_8X8 and (bsize == C.BLOCK_8X8
                                  or partition != C.PARTITION_SPLIT):
         _dec_update_partition_context(st, mi_row, mi_col, subsize, num8)
 
 
-def _encode_block(st, xd, w, mi_row, mi_col, bsize, bwl, bhl):
-    """One ZEROMV / LAST / skip inter block; contexts via decodemv."""
+def _encode_block(st, xd, w, mi_row, mi_col, bsize, bwl, bhl, mv_fn=None):
+    """One ZEROMV (or, with mv_fn, NEWMV) LAST skip inter block;
+    contexts via decodemv.  mv_fn(mi_row, mi_col) -> (row, col) in
+    1/8-pel units (EVEN components: frames code allow_hp=0); (0, 0)
+    writes the classic ZEROMV block."""
     g = st.mi
     fc = st.fc
     bw = 1 << (bwl - 1)
@@ -350,18 +400,33 @@ def _encode_block(st, xd, w, mi_row, mi_col, bsize, bwl, bhl):
         w.write(0, int(fc.single_ref[p1_ctx][0]))
         g.ref[mi_row, mi_col, 0] = C.LAST_FRAME
         g.ref[mi_row, mi_col, 1] = C.NONE_FRAME
-    # inter mode: ZEROMV via the tree at the mvref-derived mode context
+    # inter mode via the tree at the mvref-derived mode context
     mode_ctx = mvref.get_mode_context(st, xd, bsize, mi_row, mi_col)
-    w.write_tree(M.INTER_MODE_TREE, fc.inter_mode[mode_ctx].tolist(),
-                 _INTER_MODE_PATHS, C.ZEROMV - C.NEARESTMV)
+    mv = mv_fn(mi_row, mi_col) if mv_fn is not None else (0, 0)
+    if mv == (0, 0):
+        w.write_tree(M.INTER_MODE_TREE, fc.inter_mode[mode_ctx].tolist(),
+                     _INTER_MODE_PATHS, C.ZEROMV - C.NEARESTMV)
+        g.mode[mi_row, mi_col] = C.ZEROMV
+        g.mv[mi_row, mi_col] = 0
+    else:
+        # NEWMV: diff vs the decoder's own best_ref derivation
+        # (read_inter_block_mode_info NEWMV branch parity)
+        w.write_tree(M.INTER_MODE_TREE, fc.inter_mode[mode_ctx].tolist(),
+                     _INTER_MODE_PATHS, C.NEWMV - C.NEARESTMV)
+        tmp, refmv_count = mvref.dec_find_mv_refs(
+            st, xd, C.NEWMV, C.LAST_FRAME, bsize, mi_row, mi_col, -1)
+        best = mvref.lower_mv_precision(tmp[refmv_count - 1], False)
+        _write_mv(w, fc, (mv[0] - best[0], mv[1] - best[1]))
+        g.mode[mi_row, mi_col] = C.NEWMV
+        g.mv[mi_row, mi_col] = 0
+        g.mv[mi_row, mi_col, 0, 0] = mv[0]
+        g.mv[mi_row, mi_col, 0, 1] = mv[1]
     # interp_filter != SWITCHABLE: no bits
 
     # grid updates (read_mode_info tail parity)
-    g.mode[mi_row, mi_col] = C.ZEROMV
     g.skip[mi_row, mi_col] = 1
     g.tx_size[mi_row, mi_col] = min(
         int(M.MAX_TXSIZE_LOOKUP[bsize]),
         int(M.TX_MODE_TO_BIGGEST_TX_SIZE[C.ALLOW_32X32]))
     g.interp_filter[mi_row, mi_col] = st.interp_filter
-    g.mv[mi_row, mi_col] = 0
     decodemv._replicate(st, mi_row, mi_col, x_mis, y_mis)

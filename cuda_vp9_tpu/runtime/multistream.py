@@ -11,8 +11,11 @@ decoding many independent streams per chip.  Two levels:
    share one compiled step (module-level cache).  Output rings keep
    device->host fetches batched per stream.
 
-2. `parallel/sharded.py` (multi-chip): independent streams sharded over
-   the 'data' mesh axis with `shard_map`.
+2. `BatchedFusedDecoder` (below, single- or multi-chip): N same-geometry
+   streams decoded in lockstep by ONE vmapped fused step per round; with
+   a `jax.sharding.Mesh`, the stream axis is sharded over the mesh's
+   'data' axis (pure data parallelism, zero collectives — see
+   `fused.get_batched_step` and `__graft_entry__.dryrun_multichip`).
 
 Usage:
     msd = MultiStreamDecoder(n_streams=4)

@@ -417,5 +417,217 @@ def gen_vp8(name: str, w: int, h: int, n: int, enc_opts: list[str],
     run([ORACLE_BIN, "decode", ivf, md5, "codec=vp8"])
 
 
+
+def gen_extmv(name: str, w: int, h: int, seed: int = 7):
+    """Extreme border MVs: keyframe, then NEWMV/skip frames whose edge
+    blocks point far outside the frame — every prediction pixel comes
+    from the reference's border clamp (the reference's GPU path leaned
+    on X_Fuel for this; the TPU build clamps in-kernel).  Golden MD5s
+    from the normative libavcodec decoder."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(ROOT))
+    from cuda_vp9_tpu.containers.ivf import IvfWriter
+    from cuda_vp9_tpu.encoder import Vp9Encoder
+    from cuda_vp9_tpu.encoder.interframe import write_inter_zeromv_frame
+    os.makedirs(FIXDIR, exist_ok=True)
+    raw = np.frombuffer(synth_video(w, h, 1, seed=seed), np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = raw[:w * h].reshape(h, w)
+    u = raw[w * h:w * h + cw * ch].reshape(ch, cw)
+    v = raw[w * h + cw * ch:].reshape(ch, cw)
+    enc = Vp9Encoder(w, h, base_qindex=60)
+    mr8 = (h + 7) // 8
+
+    def corners(mag):
+        def mv_fn(mi_row, mi_col):
+            r = -mag if mi_row < mr8 // 2 else mag
+            c = -mag if mi_col < ((w + 7) // 8) // 2 else mag
+            return (r, c)
+        return mv_fn
+
+    def diag(step):
+        def mv_fn(mi_row, mi_col):
+            return (((mi_row * step) & ~1) - 800,
+                    ((mi_col * step) & ~1) - 800)
+        return mv_fn
+
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        wtr.write_frame(enc.encode_frame([y, u, v]), 0)
+        # far outside every border; then sub-pel diagonal sweep; then a
+        # moderate mix that lands partially inside
+        for i, mv_fn in enumerate((corners(1600), diag(52),
+                                   corners(118))):
+            wtr.write_frame(
+                write_inter_zeromv_frame(w, h, mv_fn=mv_fn), i + 1)
+        wtr.close()
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    print(f"  {name}: {os.path.getsize(ivf)} bytes")
+
+
+def gen_superframe(name: str, w: int, h: int, seed: int = 7):
+    """>2-frame superframes: each packet is [hidden inter (refresh 1),
+    hidden inter (refresh 2), shown inter referencing the hidden ones]
+    — exceeds the 2-frame superframes the SVC fixtures exercise
+    (vp9_parse_superframe_index handles up to 8)."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(ROOT))
+    from cuda_vp9_tpu.containers.ivf import IvfWriter
+    from cuda_vp9_tpu.encoder import Vp9Encoder
+    from cuda_vp9_tpu.encoder.interframe import write_inter_zeromv_frame
+    from cuda_vp9_tpu.encoder.svc import pack_superframe
+    os.makedirs(FIXDIR, exist_ok=True)
+    raw = np.frombuffer(synth_video(w, h, 1, seed=seed), np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = raw[:w * h].reshape(h, w)
+    u = raw[w * h:w * h + cw * ch].reshape(ch, cw)
+    v = raw[w * h + cw * ch:].reshape(ch, cw)
+    enc = Vp9Encoder(w, h, base_qindex=60)
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    hw, hh = (w // 2) & ~1, (h // 2) & ~1
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        wtr.write_frame(enc.encode_frame([y, u, v]), 0)
+        for i in range(3):
+            # hidden downscaled + hidden re-upscaled + shown mix
+            sf = pack_superframe([
+                write_inter_zeromv_frame(hw, hh, ref_slot=0,
+                                         refresh_flags=1 << 1,
+                                         show_frame=0),
+                write_inter_zeromv_frame(w, h, ref_slot=1,
+                                         refresh_flags=1 << 2,
+                                         show_frame=0),
+                write_inter_zeromv_frame(w, h, ref_slot=2),
+            ])
+            wtr.write_frame(sf, i + 1)
+        wtr.close()
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    print(f"  {name}: {os.path.getsize(ivf)} bytes, 3-frame superframes")
+
+
+def gen_resize_chain(name: str, w: int, h: int, seed: int = 7):
+    """Per-frame dynamic resize chain: EVERY inter frame changes size
+    (libvpx/test/resize_test.cc analog), each refreshing slot 0 so the
+    next frame scales from the previous one."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(ROOT))
+    from cuda_vp9_tpu.containers.ivf import IvfWriter
+    from cuda_vp9_tpu.encoder import Vp9Encoder
+    from cuda_vp9_tpu.encoder.interframe import write_inter_zeromv_frame
+    os.makedirs(FIXDIR, exist_ok=True)
+    raw = np.frombuffer(synth_video(w, h, 1, seed=seed), np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = raw[:w * h].reshape(h, w)
+    u = raw[w * h:w * h + cw * ch].reshape(ch, cw)
+    v = raw[w * h + cw * ch:].reshape(ch, cw)
+    enc = Vp9Encoder(w, h, base_qindex=60)
+    sizes = []
+    sw, sh = w, h
+    rng = np.random.default_rng(seed)
+    for i in range(10):
+        # alternate shrink/grow within the 2x-down/16x-up legal range
+        if i % 2 == 0:
+            sw, sh = max(66, int(sw * 0.6)), max(50, int(sh * 0.6))
+        else:
+            sw, sh = min(w * 2, int(sw * 1.7)), min(h * 2, int(sh * 1.7))
+        sizes.append((sw | 1 if i == 4 else sw, sh))  # one odd width
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    with open(ivf, "wb") as f:
+        wtr = IvfWriter(f, b"VP90", w, h)
+        wtr.write_frame(enc.encode_frame([y, u, v]), 0)
+        for i, (sw, sh) in enumerate(sizes):
+            wtr.write_frame(
+                write_inter_zeromv_frame(sw, sh, refresh_flags=1), i + 1)
+        wtr.close()
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    print(f"  {name}: {os.path.getsize(ivf)} bytes, resize every frame")
+
+
+def main_round4():
+    """Round-4 corpus expansion (libvpx/test/test_vectors.cc breadth:
+    VERDICT r3 item 5)."""
+    build_oracle()
+    # adaptation-on stream decoded with frame-parallel mode OFF is
+    # already covered; this is the frame_parallel=1 bitstream flag
+    gen("fp01_176x144_fpar", 176, 144, 12,
+        ["gop=6", "crf=32", "cpu_used=1", "frame_parallel=1"])
+    # real alt-ref / hidden frames from libvpx (lag + auto-alt-ref)
+    gen("ar02_352x288_lag", 352, 288, 16,
+        ["gop=8", "crf=34", "cpu_used=2", "lag=8", "auto_alt_ref=1"])
+    # tile rows x cols
+    gen("tr01_640x360_r2c2", 640, 360, 6,
+        ["gop=9999", "crf=38", "cpu_used=4", "tile_cols=1", "tile_rows=1"])
+    gen("tr02_1280x720_r4", 1280, 720, 4,
+        ["gop=9999", "crf=40", "cpu_used=5", "tile_cols=2", "tile_rows=2"])
+    # minimum / tiny frame sizes
+    gen("mn01_16x16", 16, 16, 6, ["gop=3", "crf=30", "cpu_used=2"])
+    gen("mn02_32x24", 32, 24, 6, ["gop=3", "crf=30", "cpu_used=2"])
+    gen("mn03_odd_18x10", 18, 10, 6, ["gop=3", "crf=30", "cpu_used=2"])
+    # extreme MVs at frame borders (synthetic NEWMV writer)
+    gen_extmv("mv01_176x144_extmv", 176, 144)
+    gen_extmv("mv02_odd_98x66_extmv", 98, 66)
+    # >2-frame superframes (hidden + shown mix)
+    gen_superframe("sf01_176x144_super3", 176, 144)
+    # 3-layer spatial SVC: 3-frame superframes from the SVC encoder
+    gen_svc3("svc02_352x288_3l", 352, 288, 6)
+    # per-frame resize chain
+    gen_resize_chain("rs01_352x288_resize", 352, 288)
+    # breadth: more geometries / modes
+    gen("in04_640x480", 640, 480, 10, ["gop=5", "crf=34", "cpu_used=3"])
+    gen("in05_864x480_odd_862", 862, 480, 8,
+        ["gop=9999", "crf=38", "cpu_used=4"])
+    gen("kf04_320x180", 320, 180, 4, ["gop=1", "crf=26", "cpu_used=2"])
+    gen("br02_352x288_vbr", 352, 288, 12,
+        ["gop=6", "bitrate=250000", "cpu_used=2"])
+    gen("aq03_352x288_cyclic", 352, 288, 10,
+        ["gop=9999", "crf=36", "cpu_used=3", "aq_mode=3"])
+    gen("er02_176x144_fpar_resil", 176, 144, 10,
+        ["gop=5", "crf=32", "cpu_used=1", "error_resilient=1",
+         "frame_parallel=1"])
+    gen("p2_03_352x288_10b", 352, 288, 6,
+        ["gop=3", "crf=32", "cpu_used=3", "bitdepth=10", "profile=2"],
+        bitdepth=10)
+    gen_ss("p1_03_320x240_444", 320, 240, 5, 444,
+           ["gop=3", "crf=32", "cpu_used=3"])
+    # VP8 breadth
+    gen_vp8("v8in04_640x480", 640, 480, 8,
+            ["gop=5", "crf=30", "cpu_used=1"])
+    gen_vp8("v8kf03_odd_98x66", 98, 66, 3, ["gop=1", "crf=28",
+                                            "cpu_used=2"])
+    print("round-4 fixtures written to", FIXDIR)
+
+
+def gen_svc3(name: str, w: int, h: int, n: int, seed: int = 7):
+    """3-layer spatial SVC: every superframe carries 3 frames."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(ROOT))
+    from cuda_vp9_tpu.containers.ivf import IvfWriter
+    from cuda_vp9_tpu.encoder.svc import Vp9SvcEncoder
+    os.makedirs(FIXDIR, exist_ok=True)
+    raw = np.frombuffer(synth_video(w, h, n, seed=seed), np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    fsz = w * h + 2 * cw * ch
+    enc = Vp9SvcEncoder(w, h, n_layers=3, base_qindex=90, gop=3)
+    ivf = os.path.join(FIXDIR, f"{name}.ivf")
+    md5 = os.path.join(FIXDIR, f"{name}.md5")
+    with open(ivf, "wb") as f:
+        wr = IvfWriter(f, b"VP90", w, h, 30, 1)
+        for i in range(n):
+            off = i * fsz
+            y = raw[off:off + w * h].reshape(h, w)
+            u = raw[off + w * h:off + w * h + cw * ch].reshape(ch, cw)
+            v = raw[off + w * h + cw * ch:off + fsz].reshape(ch, cw)
+            wr.write_frame(enc.encode_frame([y, u, v]), i)
+        wr.close()
+    run([ORACLE_BIN, "decode", ivf, md5, "codec=vp9"])
+    print(f"  {name}: {os.path.getsize(ivf)} bytes, {n} superframes x 3")
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "round4":
+        sys.exit(main_round4())
     sys.exit(main())

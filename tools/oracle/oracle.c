@@ -57,6 +57,7 @@ static int do_encode(int argc, char **argv) {
     const char *in_path = argv[2], *out_path = argv[3];
     int fps = 30, crf = 32, bitrate = 0, gop = 9999, lossless = 0;
     int tile_cols = 0, cpu_used = 1, bitdepth = 8, profile = 0, aq_mode = 0, threads = 1;
+    int tile_rows = 0;
     int lag = 0, auto_alt_ref = 0, frame_parallel = 0;
     int ss = 420;                          /* pixfmt=420|422|444 */
     int error_resilient = 0;
@@ -75,6 +76,7 @@ static int do_encode(int argc, char **argv) {
         else if (!strcmp(key, "gop")) gop = val;
         else if (!strcmp(key, "lossless")) lossless = val;
         else if (!strcmp(key, "tile_cols")) tile_cols = val;
+        else if (!strcmp(key, "tile_rows")) tile_rows = val;
         else if (!strcmp(key, "cpu_used")) cpu_used = val;
         else if (!strcmp(key, "bitdepth")) bitdepth = val;
         else if (!strcmp(key, "profile")) profile = val;
@@ -120,6 +122,8 @@ static int do_encode(int argc, char **argv) {
         av_opt_set(c->priv_data, "lossless", buf, 0);
         snprintf(buf, sizeof buf, "%d", tile_cols);
         av_opt_set(c->priv_data, "tile-columns", buf, 0);
+        snprintf(buf, sizeof buf, "%d", tile_rows);
+        av_opt_set(c->priv_data, "tile-rows", buf, 0);
         snprintf(buf, sizeof buf, "%d", aq_mode);
         av_opt_set(c->priv_data, "aq-mode", buf, 0);
         snprintf(buf, sizeof buf, "%d", frame_parallel);
