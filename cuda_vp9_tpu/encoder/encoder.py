@@ -53,8 +53,13 @@ _PARTITION_PATHS = tree_paths(M.PARTITION_TREE)
 _INTRA_MODE_PATHS = tree_paths(M.INTRA_MODE_TREE)
 _INTER_MODE_PATHS = tree_paths(M.INTER_MODE_TREE)
 
-# default intra mode search candidates (cheap, directional spread)
-_MODE_CANDIDATES = (C.DC_PRED, C.V_PRED, C.H_PRED, C.TM_PRED)
+# intra mode search candidates: the full normative set (S19 parity with
+# vp9_rd_pick_intra_mode; the diagonal modes matter most on oriented
+# texture).  Prediction + edge construction reuse the decoder's own
+# machinery, so every candidate reconstructs bit-identically.
+_MODE_CANDIDATES = (C.DC_PRED, C.V_PRED, C.H_PRED, C.TM_PRED,
+                    C.D45_PRED, C.D135_PRED, C.D117_PRED, C.D153_PRED,
+                    C.D207_PRED, C.D63_PRED)
 
 
 class Vp9Encoder:

@@ -194,7 +194,8 @@ class BatchedFusedDecoder:
     RING = 32
 
     def __init__(self, n_streams: int, mesh=None,
-                 validate_against_oracle: bool = False):
+                 validate_against_oracle: bool = False,
+                 defer_output: bool = False):
         from ..utils.jaxcache import enable_persistent_cache
         enable_persistent_cache()
         import concurrent.futures as _cf
@@ -204,6 +205,10 @@ class BatchedFusedDecoder:
         from .. import models as M
         self.jax, self.jnp, self.np = jax, jnp, np
         self.n = n_streams
+        # defer_output: decode_perf_test semantics — no device->host
+        # output fetches; frames stay in the HBM rings (see
+        # pipeline.TpuReconFused.defer_output)
+        self.defer_output = defer_output
         self.mesh = mesh
         self.validate = validate_against_oracle
         self.kernels = jnp.asarray(M.FILTER_KERNELS.astype(np.int32))
@@ -445,9 +450,10 @@ class BatchedFusedDecoder:
             tier="wide" if use_wide else "tight")
         self._pool, self._ring = step(self._pool, self._ring,
                                       self.kernels, jnp.asarray(payload))
-        self._unfetched.append(
-            (self._ring_slot,
-             [lp for lp in self._round_lps if lp is not None]))
+        if not self.defer_output:
+            self._unfetched.append(
+                (self._ring_slot,
+                 [lp for lp in self._round_lps if lp is not None]))
         if len(self._unfetched) >= self.FETCH_EVERY:
             self._flush_fetch()
         self._round_flats = [None] * self.n
@@ -511,10 +517,24 @@ class BatchedFusedDecoder:
     def flush(self):
         self._dispatch_round()
         self._flush_fetch()
-        for lp in self._pending:
-            if isinstance(lp, _BatchLazyPlanes):
-                lp._force()
+        if not self.defer_output:
+            for lp in self._pending:
+                if isinstance(lp, _BatchLazyPlanes):
+                    lp._force()
         self._pending = []
+
+    def sync(self) -> int:
+        """Dispatch everything queued and block until the device has
+        executed it WITHOUT transferring outputs: fetches an 8-byte
+        checksum of the output rings (data-dependent on every
+        dispatched round) — the deferred-output timing barrier."""
+        self._dispatch_round()
+        self._pending = []
+        import jax
+        import numpy as np
+        fn = jax.jit(lambda r: jax.numpy.sum(
+            r.astype(jax.numpy.int32), dtype=jax.numpy.int32))
+        return int(np.asarray(fn(self._ring)))
 
     def drain(self):
         """Yield (stream, DecodedFrame) for everything decoded so far."""

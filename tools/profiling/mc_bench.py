@@ -60,19 +60,25 @@ srow = srow[order]
 gkey = srow
 starts = np.nonzero(np.r_[True, gkey[1:] != gkey[:-1]])[0]
 ends = np.r_[starts[1:], len(tiles)]
+# project to the 6-field wire rows + 8-wide chunk headers
+# (runtime/pack.py build_layout: dx, dy+1, sr, sc, filt, 0)
 units_l, hdrs_l = [], []
 for s, e in zip(starts, ends):
     for k0 in range(s, e, CH):
         part = tiles[k0:min(k0 + CH, e)]
-        u = np.zeros((CH, 12), np.int16)
-        u[:len(part)] = part
+        u = np.zeros((CH, 6), np.int16)
+        u[:len(part), 0] = part[:, 1]
+        u[:len(part), 1] = part[:, 2]
+        u[:len(part), 2] = ((part[:, 5] - (part[:, 2] - 1)) << 4)             | part[:, 7]
+        u[:len(part), 3] = ((part[:, 4] - part[:, 1]) << 4) | part[:, 6]
+        u[:len(part), 4] = part[:, 8]
         units_l.append(u)
-        hdrs_l.append((0, 0, srow[s], 0))
+        hdrs_l.append((0, 0, srow[s], part[0, 9], part[0, 10], 0, 0, 0))
 n_chunks = len(units_l)
 CAPC = n_chunks + 8
-mc_units = np.zeros((CAPC, CH, 12), np.int16)
+mc_units = np.zeros((CAPC, CH, 6), np.int16)
 mc_units[:n_chunks] = np.stack(units_l)
-mc_hdrs = np.zeros((CAPC, 4), np.int16)
+mc_hdrs = np.zeros((CAPC, 8), np.int16)
 mc_hdrs[:n_chunks] = np.array(hdrs_l, np.int16)
 print(f"{n_chunks} chunks of {CH}")
 

@@ -49,16 +49,20 @@ nf = min(len(p) for p in streams)
 print(f"{N} streams {W}x{H}, {nf} packets each", flush=True)
 
 
+NOBLIT = os.environ.get("NOBLIT", "1") == "1"   # decode_perf semantics
+
+
 def run_batched():
-    dec = BatchedFusedDecoder(N)
-    n = 0
+    dec = BatchedFusedDecoder(N, defer_output=NOBLIT)
     for i in range(nf):
-        for _s, fr in dec.decode_round([p[i] for p in streams]):
-            fr.visible_planes()
-            n += 1
+        dec.decode_round([p[i] for p in streams])
+    n = 0
     for _s, fr in dec.drain():
-        fr.visible_planes()
+        if not NOBLIT:
+            fr.visible_planes()
         n += 1
+    if NOBLIT:
+        dec.sync()
     return n
 
 
@@ -80,15 +84,19 @@ def run_roundrobin():
 def run_sequential():
     n = 0
     for s in range(N):
-        recon = TpuReconFused()
+        recon = TpuReconFused(defer_output=NOBLIT)
         dec = NativeVp9Decoder(recon_fn=recon)
         q = []
         for p in streams[s]:
             dec.decode(p)
             q.extend(dec.frames())
-        for fr in q:
-            fr.visible_planes()
-            n += 1
+        if NOBLIT:
+            n += len(q)
+            recon.sync()
+        else:
+            for fr in q:
+                fr.visible_planes()
+                n += 1
     return n
 
 
