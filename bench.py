@@ -168,8 +168,11 @@ def main():
         else ""
     for size in sizes.split(","):
         bw, bh = (int(v) for v in size.split("x"))
+        # HD+ geometries: fewer frames (per-frame cost is ~9x SD; the
+        # steady-state rate converges well before 150 frames)
+        nf = min(frames, 60) if bw * bh >= 1.9e6 else frames
         try:
-            w, h, fps = bench_one(bw, bh, frames, blit)
+            w, h, fps = bench_one(bw, bh, nf, blit)
         except Exception as e:  # one geometry failing must not kill the
             print(f"# bench {size} failed: {e!r}", file=sys.stderr)
             continue            # primary metric

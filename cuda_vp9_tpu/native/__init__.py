@@ -88,6 +88,10 @@ class _PackIn(ct.Structure):
         ("mcs_off", ct.c_int64), ("mcsh_off", ct.c_int64),
         ("mcs_cap", ct.c_int64),
         ("pool_ha", ct.c_int32), ("pad0", ct.c_int32),
+        # 32x32 coo bucket (8-bit only; c3_cap 0 = absent)
+        ("c3_off", ct.c_int64), ("c3pos_off", ct.c_int64),
+        ("c3_cap", ct.c_int64),
+        ("intra_chunk", ct.c_int32), ("pad1", ct.c_int32),
     ]
 
 
@@ -250,6 +254,10 @@ class NativeParser:
                 pi.coeff_cap[i] = caps[name]
                 if pi.highbd:
                     pi.coeffh_off[i] = layout.segs[f"coeffh_{name}"][0]
+            if "coeff_tx3c" in layout.segs:
+                pi.c3_off = layout.segs["coeff_tx3c"][0]
+                pi.c3pos_off = layout.segs["cpos_tx3c"][0]
+                pi.c3_cap = caps["tx3c"]
             for i, name in enumerate(("mc4", "mc8", "mc16")):
                 pi.mc_off[i] = layout.segs[name][0]
                 pi.mch_off[i] = layout.segs[name + "h"][0]
@@ -259,6 +267,7 @@ class NativeParser:
                 pi.mcsh_off = layout.segs["mcsh"][0]
                 pi.mcs_cap = caps["mcs"]
             pi.intra_off = layout.segs["intra"][0]
+            pi.intra_chunk = layout.segs["intra"][1][1]
             pi.chunkbs_off = layout.segs["chunk_bs"][0]
             pi.intra_cap = caps["intra"]
             pi.mimask_off = layout.segs["mi_mask"][0]

@@ -69,9 +69,12 @@ def _residual_pass(R, coeffs, pos, tx_size, lossless, bd):
 def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
     """Predict one chunk of MC tiles via segment-window MXU matmuls.
 
-    u [CHUNK, 12] tile params; hd [4] = (slot, plane, srow): the whole
-    chunk reads one [br, wa] row band of one reference plane (pack groups
-    chunks that way).  Three-stage formulation, all integer-exact:
+    u [CHUNK, 6] tile params (dx, dy+1, sr, sc, filt, pad) where
+    sr/sc = ((src - dst) << 4) | subpel_q4 — the only per-tile payload
+    (everything else is chunk-constant); hd [8] = (slot, plane, srow,
+    cw, chh, ...): the whole chunk reads one [br, wa] row band of one
+    reference plane (pack groups chunks that way).  Three-stage
+    formulation, all integer-exact:
       1. a tiny one-hot over 8-column segments gathers a 32-wide window
          per tile from the band (one MXU matmul) — 32 >= w + 7 taps + 7
          intra-segment offset for every tile class;
@@ -85,14 +88,29 @@ def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
     [wa, w] banded matrix: the filter operand is 32 wide, not wa."""
     N = u.shape[0]
     wa = pool.shape[3]
-    x0, y0, spx, spy = u[:, 4], u[:, 5], u[:, 6], u[:, 7]
-    filt, cw, chh = u[:, 8], u[:, 9], u[:, 10]
+    dx = u[:, 0]
+    dy = u[:, 1] - 1
+    x0 = dx + (u[:, 3] >> 4)
+    y0 = dy + (u[:, 2] >> 4)
+    spx = u[:, 3] & 15
+    spy = u[:, 2] & 15
+    filt = u[:, 4]
+    cw = jnp.full((N,), hd[3], I32)
+    chh = jnp.full((N,), hd[4], I32)
     ih = h + 7
     maxv = (1 << bd) - 1
     S = (wa + 32) // 8                       # segments incl. zero pad
 
-    band = jax.lax.dynamic_slice(
-        pool, (hd[0], hd[1], hd[2], 0), (1, 1, br, wa))[0, 0]
+    # band read as a WIDE-ROW GATHER over the flattened pool: a
+    # dynamic_slice here is equivalent single-stream, but under vmap
+    # (batched multi-stream) a batched-start dynamic_slice lowers to an
+    # elementwise gather (~6 ns/elem — it alone made the batched step
+    # ~20x slower than N single-stream steps); full-row gathers stay on
+    # the fast path both ways
+    pha = pool.shape[2]
+    pool_rows = pool.reshape(pool.shape[0] * pool.shape[1] * pha, wa)
+    row0 = (hd[0] * 3 + hd[1]) * pha + hd[2]
+    band = jnp.take(pool_rows, row0 + jnp.arange(br, dtype=I32), axis=0)
     band_r = jnp.pad(band, ((0, 0), (0, 32))).reshape(br, S, 8)
     fx = kernels[filt, spx & 15]             # [N, 8]
     fy = kernels[filt, spy & 15]
@@ -169,10 +187,11 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
                 stage, out.reshape(CH, h * w), (ci * CH, 0))
 
         stage = jax.lax.fori_loop(0, n_chunks, body, stage)
-        uu = mc_units.reshape(CAPC * CH, 12)
-        plane, dx = uu[:, 0], uu[:, 1]
+        uu = mc_units.reshape(CAPC * CH, 6)
+        plane = jnp.repeat(mc_hdrs[:, 1], CH)
+        dx = uu[:, 0]
         # dy stored +1: zero entries are padding (zero-page elision)
-        dy = jnp.where(uu[:, 2] == 0, -(1 << 20), uu[:, 2] - 1)
+        dy = jnp.where(uu[:, 1] == 0, -(1 << 20), uu[:, 1] - 1)
         cidx = jnp.arange(CAPC * CH, dtype=I32) // CH
         TY, TX = ha // h, wa // w
 
@@ -196,6 +215,7 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
     def group(base, limit, is_avg, F):
         stage = jnp.zeros((G * CH, h, w), I32)
         us = []
+        pls = []
         valid = []
         for j in range(G):
             ci = base + j
@@ -204,11 +224,13 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
             out = _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd)
             stage = jax.lax.dynamic_update_slice(stage, out, (j * CH, 0, 0))
             us.append(u)
+            pls.append(jnp.full((CH,), hd[1], I32))
             valid.append(jnp.full((CH,), ci < limit))
         uu = jnp.concatenate(us)
+        plane = jnp.concatenate(pls)
         vv = jnp.concatenate(valid)
-        plane, dx = uu[:, 0], uu[:, 1]
-        dy = jnp.where(uu[:, 2] == 0, -(1 << 20), uu[:, 2] - 1)
+        dx = uu[:, 0]
+        dy = jnp.where(uu[:, 1] == 0, -(1 << 20), uu[:, 1] - 1)
         dy = jnp.where(vv, dy, -(1 << 20))
         rows_o = dy[:, None, None] + jnp.arange(h, dtype=I32)[None, :, None]
         cols_o = dx[:, None, None] + jnp.arange(w, dtype=I32)[None, None, :]
@@ -248,8 +270,11 @@ def _mcs_chunk_compute(pool, kernels, hd, u, br, bd):
     mdt = jnp.bfloat16 if bd == 8 else jnp.float32
     prec = None if bd == 8 else jax.lax.Precision.HIGHEST
 
-    band = jax.lax.dynamic_slice(
-        pool, (hd[0], hd[1], hd[2], 0), (1, 1, br, pwa))[0, 0]
+    # wide-row gather (not dynamic_slice): see _mc_chunk_compute
+    pha = pool.shape[2]
+    pool_rows = pool.reshape(pool.shape[0] * pool.shape[1] * pha, pwa)
+    row0 = (hd[0] * 3 + hd[1]) * pha + hd[2]
+    band = jnp.take(pool_rows, row0 + jnp.arange(br, dtype=I32), axis=0)
     band_r = jnp.pad(band, ((0, 0), (0, S * 8 - pwa))).reshape(br, S, 8)
     cidx = jnp.arange(4, dtype=I32)[None, :]
     xq4 = spx[:, None] + cidx * xs[:, None]          # [N, 4]
@@ -379,7 +404,7 @@ def _intra_pass(F, R, chunks, chunk_bs, n_chunks, bd):
 def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                     layout, lossless: bool, bd: int = 8,
                     pages_tier: int = 0, jit_wrap: bool = True,
-                    pool_geom=None):
+                    pool_geom=None, ss=(1, 1)):
     """Build the jitted fused step for one frame geometry.
 
     step(pool, ring, kernels, flat_or_pages) -> (new_pool, new_ring)
@@ -401,10 +426,10 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
     H2D transfer (plus one batched D2H per RING frames).
     """
     from .pack import PAGE
+    ssx, ssy = ss
     ha = ((mi_rows + 7) & ~7) * 8
     wa = ((mi_cols + 7) & ~7) * 8
     pha, pwa = pool_geom if pool_geom is not None else (ha, wa)
-    R2, C2 = cdiv(mi_rows, 2), cdiv(mi_cols, 2)
     K = cdiv(layout.size, PAGE)
 
     def step(pool, ring, kernels, flat):
@@ -464,6 +489,29 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                 return _residual_pass(R, cm, pos, tx, lossless, bd)
 
             R = jax.lax.fori_loop(0, misc[MISC_TRIP[name]], body, R)
+        if "coeff_tx3c" in layout.segs:
+            # 32x32 coo bucket: 64 (raster_idx, value) pairs per unit
+            # (pack.COO_PAIRS); pad pairs are (0, 0) and redirect to an
+            # out-of-range index so they drop at the scatter instead of
+            # clobbering a real DC at index 0
+            from .pack import CHUNK_TX3C, MISC_TRIP_TX3C
+            c3_all = seg("coeff_tx3c", jnp.int16)
+            p3_all = seg("cpos_tx3c")
+
+            def body3(i, R):
+                cm = jax.lax.dynamic_slice(
+                    c3_all, (i * CHUNK_TX3C, 0), (CHUNK_TX3C, 128))
+                pos = jax.lax.dynamic_slice(
+                    p3_all, (i * CHUNK_TX3C, 0), (CHUNK_TX3C, 4))
+                idx = cm[:, 0::2].astype(I32)
+                val = cm[:, 1::2].astype(jnp.int16)
+                idx = jnp.where((idx == 0) & (val == 0), 1024, idx)
+                ci = jnp.arange(CHUNK_TX3C, dtype=I32)[:, None]
+                full = jnp.zeros((CHUNK_TX3C, 1024), cdt)
+                full = full.at[ci, idx].set(val.astype(cdt), mode="drop")
+                return _residual_pass(R, full, pos, 3, False, bd)
+
+            R = jax.lax.fori_loop(0, misc[MISC_TRIP_TX3C], body3, R)
         br = min(160, pha)
         F = _mc_pass(F, pool, kernels, seg("mc4"), seg("mc4h"),
                      misc[0], misc[23], 4, 4, br, bd)
@@ -477,23 +525,68 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
             F = _mcs_pass(F, pool, kernels, seg("mcs"), seg("mcsh"),
                           misc[14], misc[15], br, bd)
         # inter residual add over non-skip inter mi cells (mask ships
-        # bit-packed: 16 mi cells per int16 word)
+        # bit-packed: 16 mi cells per int16 word); chroma cell size
+        # follows the plane subsampling
         mp = seg("mi_mask")
         m = ((mp[:, :, None] >> jnp.arange(16, dtype=I32)[None, None, :])
              & 1).reshape(mi_rows, -1)[:, :mi_cols]
         mask = jnp.zeros((3, ha, wa), jnp.bool_)
         y8 = jnp.repeat(jnp.repeat(m, 8, axis=0), 8, axis=1) != 0
         mask = mask.at[0, :mi_rows * 8, :mi_cols * 8].set(y8)
-        c4 = jnp.repeat(jnp.repeat(m, 4, axis=0), 4, axis=1) != 0
-        mask = mask.at[1, :mi_rows * 4, :mi_cols * 4].set(c4)
-        mask = mask.at[2, :mi_rows * 4, :mi_cols * 4].set(c4)
+        chh_, chw_ = 8 >> ssy, 8 >> ssx
+        c4 = jnp.repeat(jnp.repeat(m, chh_, axis=0), chw_, axis=1) != 0
+        mask = mask.at[1, :mi_rows * chh_, :mi_cols * chw_].set(c4)
+        mask = mask.at[2, :mi_rows * chh_, :mi_cols * chw_].set(c4)
         F = jnp.where(mask, jnp.clip(F + R, 0, (1 << bd) - 1), F)
         F = _intra_pass(F, R, seg("intra"), seg("chunk_bs"), misc[3], bd)
         # loop filter (pallas kernel; interpret under the CPU backend)
         from ..ops.pallas.loopfilter import lf_frame
-        F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
-                     mi_rows=mi_rows, mi_cols=mi_cols, bd=bd,
-                     interpret=jax.default_backend() == "cpu")
+        interp = jax.default_backend() == "cpu"
+        if ss == (1, 1):
+            F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
+                         mi_rows=mi_rows, mi_cols=mi_cols, bd=bd,
+                         interpret=interp)
+        elif ss == (0, 0):
+            # 4:4:4 chroma deblocks through the kernel's LUMA path on
+            # the chroma plane's own cell geometry (chroma SBs coincide
+            # with luma SBs, so the kernel's per-SB V-then-H order is
+            # exactly VP9's).  The lfm ships zeroed chroma fields, so
+            # lf_frame's 4:2:0 chroma pass no-ops — but it still
+            # rebuilds chroma from its 4:2:0 quarter, so capture the
+            # planes FIRST.
+            rc = cdiv(mi_rows, 1 << ssy)
+            cc = cdiv(mi_cols, 1 << ssx)
+            hac = ((rc + 7) & ~7) * 8
+            wac = ((cc + 7) & ~7) * 8
+            hcc, wcc = ha >> ssy, wa >> ssx
+            lfmc = seg("lfm_c", jnp.int16)
+            Fc = (F[1], F[2])
+            F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
+                         mi_rows=mi_rows, mi_cols=mi_cols, bd=bd,
+                         interpret=interp)
+            for pch in (1, 2):
+                Cp = jnp.zeros((3, hac, wac), I32)
+                Cp = Cp.at[0, :hcc, :wcc].set(Fc[pch - 1][:hcc, :wcc])
+                Cp = lf_frame(Cp, lfmc, misc[4], mi_rows=rc, mi_cols=cc,
+                              bd=bd, interpret=interp)
+                F = F.at[pch, :hcc, :wcc].set(Cp[0, :hcc, :wcc])
+        else:
+            # 4:2:2: chroma slices per LUMA SB are 32 px wide, so the
+            # 64-px kernel order would flip overlapping V/H filters at
+            # half-SB seams; the sequential-tile path replays VP9's
+            # exact luma-SB-raster order (ops/device/lf_wave.py)
+            from ..ops.device.lf_wave import lf_plane_tiles
+            wcc = wa >> ssx
+            Fc = (F[1], F[2])
+            F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
+                         mi_rows=mi_rows, mi_cols=mi_cols, bd=bd,
+                         interpret=interp)
+            lfw = [seg(nm) for nm in ("lfw_v", "lfw_h", "lfw_mb",
+                                      "lfw_lm", "lfw_hv")]
+            for pch in (1, 2):
+                P = lf_plane_tiles(Fc[pch - 1][:, :wcc], *lfw, misc[4],
+                                   gx=8 >> ssx, gy=8 >> ssy, bd=bd)
+                F = F.at[pch, :, :wcc].set(P)
         # in-step reference-pool refresh
         refresh = misc[5:13]
         if (pha, pwa) != (ha, wa):
@@ -504,7 +597,7 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         # write the frame into its output-ring slot (fetched in one D2H per
         # RING frames: the tunnel's device->host fixed cost amortizes);
         # high bit depth rings are int16 (pixels <= 4095)
-        hc, wc = ha >> 1, wa >> 1
+        hc, wc = ha >> ssy, wa >> ssx
         odt = jnp.uint8 if bd == 8 else jnp.int16
         out = jnp.concatenate(
             [F[0].reshape(-1), F[1, :hc, :wc].reshape(-1),
@@ -513,7 +606,12 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         if out.shape[0] < nout_ring:
             # ring rows are pool-geometry sized; pad the tail
             out = jnp.zeros((nout_ring,), odt).at[:out.shape[0]].set(out)
-        ring = jax.lax.dynamic_update_index_in_dim(ring, out, misc[13], 0)
+        # one-hot row select (not dynamic_update_slice): a traced-index
+        # DUS lowers to a scatter under vmap (~6 ns/element over the
+        # whole batched ring per round); the select is bandwidth-bound
+        # and fast under both jit and vmap
+        sel = (jnp.arange(ring.shape[0], dtype=I32) == misc[13])[:, None]
+        ring = jnp.where(sel, out[None, :], ring)
         return pool, ring
 
     if not jit_wrap:
@@ -549,6 +647,11 @@ def get_batched_step(n_streams: int, mi_rows: int, mi_cols: int,
            id(mesh) if mesh is not None else None, tier)
     if key not in _BATCH_CACHE:
         caps = pack.compute_caps(mi_rows, mi_cols, tier, lossless)
+        # batched rounds escalate tight packs to the wide layout by a
+        # per-segment prefix copy (_remap_wide); the tight tier's
+        # 16-unit intra chunks would break that (wide chunks are 64
+        # units), so the batched tiers pin the 64-unit chunk
+        caps["intra_chunk"] = pack.CHUNK_INTRA
         layout = pack.build_layout(caps, mi_rows, mi_cols, lossless, bd)
         body = make_frame_step(mi_rows, mi_cols, caps, layout, lossless,
                                bd, pages_tier, jit_wrap=False)
@@ -567,22 +670,28 @@ def get_batched_step(n_streams: int, mi_rows: int, mi_cols: int,
 
 
 def get_frame_step(mi_rows: int, mi_cols: int, tier: str, lossless: bool,
-                   bd: int = 8, pages_tier: int = 0, pool_geom=None):
+                   bd: int = 8, pages_tier: int = 0, pool_geom=None,
+                   ss=(1, 1)):
     """Cached (step, caps, layout) for one frame-geometry/cap-tier key.
     pool_geom=(pha, pwa): reference-pool canvas, >= the frame canvas
-    (differs when scaled references / mid-stream resizes are live)."""
+    (differs when scaled references / mid-stream resizes are live).
+    ss=(ssx, ssy): chroma subsampling (profiles 1/3 run the same fused
+    step with plane-parametric geometry)."""
     from . import pack
     ha = ((mi_rows + 7) & ~7) * 8
     wa = ((mi_cols + 7) & ~7) * 8
     if pool_geom is None or tuple(pool_geom) == (ha, wa):
         pool_geom = None
-    key = (mi_rows, mi_cols, tier, lossless, bd, pages_tier, pool_geom)
+    ss = tuple(ss)
+    key = (mi_rows, mi_cols, tier, lossless, bd, pages_tier, pool_geom,
+           ss)
     if key not in _STEP_CACHE:
         pha = pool_geom[0] if pool_geom else None
         caps = pack.compute_caps(mi_rows, mi_cols, tier, lossless,
-                                 pool_ha=pha)
-        layout = pack.build_layout(caps, mi_rows, mi_cols, lossless, bd)
+                                 pool_ha=pha, ss=ss)
+        layout = pack.build_layout(caps, mi_rows, mi_cols, lossless, bd,
+                                   ss=ss)
         step = make_frame_step(mi_rows, mi_cols, caps, layout, lossless,
-                               bd, pages_tier, pool_geom=pool_geom)
+                               bd, pages_tier, pool_geom=pool_geom, ss=ss)
         _STEP_CACHE[key] = (step, caps, layout)
     return _STEP_CACHE[key]

@@ -49,20 +49,28 @@ def build_lf_metadata(mi, seg_map, hdr):
     skip_c = skip_this & ~block_edge_left
     skip_r = skip_this & ~block_edge_above
 
-    def plane_masks(ss):
-        if ss:
-            sl = np.s_[::2, ::2]
-            tx = M.UV_TXSIZE_LOOKUP[sb_type[sl], tx_y[sl], 1, 1]
+    def plane_masks(ssx, ssy=None, luma=None):
+        """Cell masks for one plane at (ssx, ssy) subsampling (cells on
+        the plane's own 8x8 grid; asymmetric ss covers 4:2:2)."""
+        if ssy is None:
+            ssy = ssx          # legacy symmetric call
+        if luma is None:
+            luma = not (ssx or ssy)
+        if ssx or ssy or not luma:
+            sl = np.s_[::1 << ssy, ::1 << ssx]
+            tx = M.UV_TXSIZE_LOOKUP[sb_type[sl], tx_y[sl], ssx, ssy]
             sc = skip_c[sl]
             sr = skip_r[sl]
             st = skip_this[sl]
             lv = lvl[sl]
-            rows = np.arange(0, R, 2)
-            cols = np.arange(0, Cc, 2)
-            cpos = (cols[None, :] & 7) >> 1     # (c>>ss)&3 uses c within SB
-            rpos = (rows[:, None] & 7) >> 1
-            last_col = cols[None, :] == (Cc - 1)
-            last_row = rows[:, None] == (R - 1)
+            rows = np.arange(0, R, 1 << ssy)
+            cols = np.arange(0, Cc, 1 << ssx)
+            cpos = (cols[None, :] & 7) >> ssx   # c within SB, plane units
+            rpos = (rows[:, None] & 7) >> ssy
+            last_col = (cols[None, :] == (Cc - 1)) if ssx \
+                else np.zeros((1, len(cols)), bool)
+            last_row = (rows[:, None] == (R - 1)) if ssy \
+                else np.zeros((len(rows), 1), bool)
         else:
             tx = tx_y
             sc, sr, st, lv = skip_c, skip_r, skip_this, lvl
@@ -108,6 +116,6 @@ def build_lf_metadata(mi, seg_map, hdr):
         h16[0, :] = h8[0, :] = h4[0, :] = False
         return lv, (m16, m8, m4, m4i), (h16, h8, h4, h4i)
 
-    y = plane_masks(0)
-    uv = plane_masks(hdr.subsampling_x)
+    y = plane_masks(0, 0, luma=True)
+    uv = plane_masks(hdr.subsampling_x, hdr.subsampling_y, luma=False)
     return y, uv

@@ -235,6 +235,10 @@ class BatchedFusedDecoder:
         # page-tier floor: sticky running max so per-round content
         # changes don't bounce between compiled step variants mid-run
         self._page_tier_floor = 0
+        # wall timers (diagnostics; printed by profiling tools)
+        self._tw = {"sync": 0.0, "remap": 0.0, "count": 0.0,
+                    "compact": 0.0, "stack": 0.0, "dispatch": 0.0,
+                    "tiers": set()}
 
     FETCH_EVERY = 8
 
@@ -395,6 +399,7 @@ class BatchedFusedDecoder:
         # stacked H2D + ONE donated jitted scatter for the whole round
         # (a bare pool.at[s,i].set outside jit copies the entire
         # [N,8,3,ha,wa] pool per slot — ~90 MB at 16x640x360)
+        _t0 = _time.time()
         if self._syncs:
             S = 1 << (len(self._syncs) - 1).bit_length()
             syncs = self._syncs + [self._syncs[-1]] * (S - len(self._syncs))
@@ -403,6 +408,7 @@ class BatchedFusedDecoder:
             self._pool = _pool_syncer(S, self._pool.shape)(
                 self._pool, jnp.asarray(idx), jnp.asarray(canv))
             self._syncs = []
+        self._tw["sync"] += _time.time() - _t0
         if all(f is None for f in self._round_flats):
             return
         PAGE = packmod.PAGE
@@ -414,6 +420,7 @@ class BatchedFusedDecoder:
         # ring write must target THIS round's slot: a zero misc[13]
         # would clobber ring row 0 — a prior round's output that the
         # deferred batched fetch may not have read yet
+        _t0 = _time.time()
         flats = []
         for f in self._round_flats:
             if f is None:
@@ -424,6 +431,8 @@ class BatchedFusedDecoder:
                 flats.append(self._remap_wide(f[0]))
             else:
                 flats.append(f[0])
+        self._tw["remap"] += _time.time() - _t0
+        _t0 = _time.time()
         # shared page tier: smallest that fits every stream's frame
         try:
             from ..native import native_compact, native_count_pages
@@ -432,6 +441,8 @@ class BatchedFusedDecoder:
             native_compact = None
             nzp = max(int(f.reshape(K, PAGE).any(axis=1).sum())
                       for f in flats)
+        self._tw["count"] += _time.time() - _t0
+        _t0 = _time.time()
         nzp = max(nzp, self._page_tier_floor)
         tier = next((t for t in _tier_ladder(K) if nzp <= t), None)
         self._page_tier_floor = tier or 0
@@ -444,12 +455,19 @@ class BatchedFusedDecoder:
         else:
             payload = np.stack(flats)
             tier = 0
+        self._tw["compact"] += _time.time() - _t0
+        self._tw["tiers"].add(("wide" if use_wide else "tight", tier))
+        _t0 = _time.time()
         step, _, _ = fused.get_batched_step(
             self.n, self._mi_rows, self._mi_cols, self._lossless, bd,
             pages_tier=tier, mesh=self.mesh,
             tier="wide" if use_wide else "tight")
+        payload_d = jnp.asarray(payload)
+        self._tw["stack"] += _time.time() - _t0
+        _t0 = _time.time()
         self._pool, self._ring = step(self._pool, self._ring,
-                                      self.kernels, jnp.asarray(payload))
+                                      self.kernels, payload_d)
+        self._tw["dispatch"] += _time.time() - _t0
         if not self.defer_output:
             self._unfetched.append(
                 (self._ring_slot,

@@ -89,6 +89,15 @@ MISC_TRIP = {"tx0": 16, "tx1": 17, "tx2s": 18, "tx2d": 19,
              "tx3s": 20, "tx3m": 21, "tx3d": 22,
              "tx0s": 26, "tx1s": 27, "tx2xs": 28, "tx3xs": 29}
 
+# 32x32 coo bucket: units whose eob exceeds the prefix buckets but with
+# few NONZERO coefficients (high-eob 32x32 units are overwhelmingly
+# sparse inside) ship as 64 interleaved (raster_idx, value) pairs
+# instead of a 1024-coefficient row — 256 bytes vs 2 KB.  8-bit only
+# (highbd values exceed int16; tx3m/tx3d absorb those as before).
+COO_PAIRS = 64
+CHUNK_TX3C = 16
+MISC_TRIP_TX3C = 30
+
 last_overflow = None  # (segment, needed, cap) of the most recent fallback
 
 
@@ -99,17 +108,21 @@ def _note_overflow(seg, needed, cap):
 
 def compute_caps(mi_rows: int, mi_cols: int, tier: str,
                  lossless: bool = False,
-                 pool_ha: int | None = None) -> Dict[str, int]:
+                 pool_ha: int | None = None,
+                 ss: tuple = (1, 1)) -> Dict[str, int]:
+    ssx, ssy = ss
     w4, h4 = mi_cols * 2, mi_rows * 2
     cells = w4 * h4          # luma 4x4 blocks
-    total44 = cells + 2 * (cells // 4)
+    ccells = (w4 >> ssx) * (h4 >> ssy)   # 4x4 blocks per chroma plane
+    total44 = cells + 2 * ccells
     worst = [max(16, total44 >> (2 * t)) for t in range(4)]
     if tier == "scaled":
         # scaled-reference frames (mid-stream resize / SVC inter-layer):
         # the wide tier plus an "mcs" class of 4x4 tiles with per-column
         # subpel stepping (vp9_scale.c / vpx_scaled_2d parity).  Worst
         # case: every 4x4 cell compound-predicted from scaled refs.
-        caps = compute_caps(mi_rows, mi_cols, "wide", lossless, pool_ha)
+        caps = compute_caps(mi_rows, mi_cols, "wide", lossless, pool_ha,
+                            ss)
         caps["tier"] = "scaled"
         pha = pool_ha or ((mi_rows + 7) & ~7) * 8
         br, stride = band_params(pha)
@@ -131,13 +144,15 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         caps["tx3s"] = max(8, worst[3] >> 3)
         caps["tx3m"] = max(8, worst[3] >> 2)
         caps["tx3d"] = worst[3]
+        caps["tx3c"] = max(16, worst[3] >> 2)
         caps["mc4"] = caps["mc8"] = caps["mc16"] = 1
         max_waves = w4 + h4 + 2
+        caps["intra_chunk"] = CHUNK_INTRA
         caps["intra"] = cdiv(total44, CHUNK_INTRA) + 4 * max_waves
     else:
-        m4_worst = (cells + 2 * (cells // 4)) * 2
-        m8_worst = (cells // 4 + 2 * (cells // 16)) * 2
-        m16_worst = (cells // 16 + 2 * (cells // 64)) * 2
+        m4_worst = (cells + 2 * ccells) * 2
+        m8_worst = (cells // 4 + 2 * (ccells // 4)) * 2
+        m16_worst = (cells // 16 + 2 * (ccells // 16)) * 2
         # chunks are (slot, plane, row-band)-homogeneous: add group slack.
         # Slack is sized from the FRAME canvas; with an enlarged pool
         # (scaled refs) the band count can exceed it — a pack that then
@@ -164,9 +179,11 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["tx3s"] = worst[3]
             caps["tx3m"] = min(worst[3], max(8, worst[3] * 3 // 4))
             caps["tx3d"] = min(worst[3], max(16, worst[3] * 3 // 4))
+            caps["tx3c"] = min(worst[3], max(16, worst[3] * 3 // 4))
             caps["mc4"] = max(1, cdiv(m4_worst * 3 // 4, CHUNK_MC4) + groups)
             caps["mc8"] = max(1, cdiv(m8_worst * 3 // 4, CHUNK_MC8) + groups)
             caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
+            caps["intra_chunk"] = CHUNK_INTRA
             caps["intra"] = cdiv(total44 * 3 // 4, CHUNK_INTRA) + 256
         else:
             caps["tx0s"] = max(64, worst[0] * 3 // 8)
@@ -180,13 +197,21 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["tx3s"] = worst[3]
             caps["tx3m"] = max(8, worst[3] >> 2)
             caps["tx3d"] = max(16, worst[3] >> 2)
+            caps["tx3c"] = max(16, worst[3] >> 2)
             caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, CHUNK_MC4) + groups)
             caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8) + groups)
             caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
-            caps["intra"] = cdiv(total44 // 4, CHUNK_INTRA) + 128
+            # inter frames carry few intra blocks scattered across
+            # many (wave, size-class) chunk boundaries: a 16-unit chunk
+            # cuts the partial-chunk upload waste ~4x (keyframes use
+            # the full/wide tiers and keep the 64-wide chunks)
+            caps["intra_chunk"] = 16
+            caps["intra"] = cdiv(total44 // 4, 16) + 128
     for name, ch in COEFF_CHUNK.items():
         if name in caps:
             caps[name] = cdiv(caps[name], ch) * ch
+    if "tx3c" in caps:
+        caps["tx3c"] = cdiv(caps["tx3c"], CHUNK_TX3C) * CHUNK_TX3C
     return caps
 
 
@@ -207,7 +232,8 @@ class FlatLayout:
         return buf[off:off + int(np.prod(shape))].reshape(shape)
 
 
-def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8) -> FlatLayout:
+def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8,
+                 ss: tuple = (1, 1)) -> FlatLayout:
     L = FlatLayout()
     for name, t, ncoef in COEFF_BUCKETS:
         if lossless and name != "tx0":
@@ -219,18 +245,27 @@ def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8) -> FlatLayout:
             # hi = v >> 15 (arithmetic); the step rebuilds v in int32
             L.add(f"coeffh_{name}", (caps[name], ncoef))
         L.add(f"cpos_{name}", (caps[name], 4))
-    L.add("mc4", (caps["mc4"], CHUNK_MC4, 12))
-    L.add("mc8", (caps["mc8"], CHUNK_MC8, 12))
-    L.add("mc16", (caps["mc16"], CHUNK_MC16, 12))
-    L.add("mc4h", (caps["mc4"], 4))
-    L.add("mc8h", (caps["mc8"], 4))
-    L.add("mc16h", (caps["mc16"], 4))
+    if not lossless and bd == 8 and "tx3c" in caps:
+        # interleaved (raster_idx, value) pairs; see COO_PAIRS above
+        L.add("coeff_tx3c", (caps["tx3c"], 2 * COO_PAIRS))
+        L.add("cpos_tx3c", (caps["tx3c"], 4))
+    # MC tile wire rows are 6 int16: (dx, dy+1, sr, sc, filt, pad) with
+    # sr/sc = ((src - dst) << 4) | subpel_q4; everything chunk-constant
+    # (slot, plane, srow band, ref crop dims) lives in the 8-wide chunk
+    # header instead — halves the MC upload bytes
+    L.add("mc4", (caps["mc4"], CHUNK_MC4, 6))
+    L.add("mc8", (caps["mc8"], CHUNK_MC8, 6))
+    L.add("mc16", (caps["mc16"], CHUNK_MC16, 6))
+    L.add("mc4h", (caps["mc4"], 8))
+    L.add("mc8h", (caps["mc8"], 8))
+    L.add("mc16h", (caps["mc16"], 8))
     if "mcs" in caps:
         # scaled-reference 4x4 tiles: [.., 12] classic fields plus
         # (xs, ys) step_q4 and 2 pad columns
         L.add("mcs", (caps["mcs"], CHUNK_MCS, 16))
         L.add("mcsh", (caps["mcs"], 4))
-    L.add("intra", (caps["intra"], CHUNK_INTRA, 9))
+    L.add("intra", (caps["intra"], caps.get("intra_chunk", CHUNK_INTRA),
+                    9))
     L.add("chunk_bs", (caps["intra"],))
     # inter-residual mask, bit-packed 16 mi cells per int16 (the mask
     # is dense-ish, so at int16-per-cell it was a fixed ~7 KB/frame of
@@ -242,6 +277,23 @@ def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8) -> FlatLayout:
     sb_rows, sb_cols = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
     n_sbs_pad = cdiv(sb_rows, LF_K) * LF_K * sb_cols
     L.add("lfm", (n_sbs_pad, 8, 128))
+    if ss == (0, 0):
+        # 4:4:4 chroma deblocks through the kernel's LUMA path on the
+        # chroma plane's own geometry (fused.make_frame_step); this is
+        # its mask tensor, luma-format, chroma cell grid
+        rc, cc = cdiv(mi_rows, 1 << ss[1]), cdiv(mi_cols, 1 << ss[0])
+        sbr_c, sbc_c = cdiv(rc, 8), cdiv(cc, 8)
+        L.add("lfm_c", (cdiv(sbr_c, LF_K) * LF_K * sbc_c, 8, 128))
+    elif ss != (1, 1):
+        # 4:2:2 chroma: VP9 deblocks it in 32-px-wide slices per LUMA
+        # superblock, an order the 64-px kernel cannot express — the
+        # sequential-tile path (ops/device/lf_wave.py) replays it with
+        # per-cell mask bitfields + threshold maps
+        ha_ = ((mi_rows + 7) & ~7) * 8
+        wa_ = ((mi_cols + 7) & ~7) * 8
+        cr, ccc = ha_ // 8, (wa_ >> ss[0]) // 8
+        for nm in ("lfw_v", "lfw_h", "lfw_mb", "lfw_lm", "lfw_hv"):
+            L.add(nm, (cr, ccc))
     L.add("misc", (32,))
     return L
 
@@ -260,6 +312,8 @@ def scan_prefix(t, ncoef):
 
 def _pack_coeffs(plan, caps, layout, buf, lossless, bd=8):
     mi = plan.mi
+    ssx = plan.hdr.subsampling_x
+    ssy = plan.hdr.subsampling_y
     # gather all coded transform units across planes
     U = {"plane": [], "y": [], "x": [], "off": [], "tt": [], "eob": [],
          "tx": []}
@@ -270,15 +324,16 @@ def _pack_coeffs(plan, caps, layout, buf, lossless, bd=8):
         if len(ys) == 0:
             continue
         if plane:
-            mi_r = np.minimum(ys, mi.mi_rows - 1)
-            mi_c = np.minimum(xs, mi.mi_cols - 1)
+            # chroma 4x4 unit (ys, xs) -> mi cell (plane px * 2^ss / 8)
+            mi_r = np.minimum(ys >> (1 - ssy), mi.mi_rows - 1)
+            mi_c = np.minimum(xs >> (1 - ssx), mi.mi_cols - 1)
         else:
             mi_r = ys >> 1
             mi_c = xs >> 1
         bsize = mi.sb_type[mi_r, mi_c].astype(np.int32)
         tx_y = mi.tx_size[mi_r, mi_c].astype(np.int32)
         if plane:
-            tx = M.UV_TXSIZE_LOOKUP[bsize, tx_y, 1, 1]
+            tx = M.UV_TXSIZE_LOOKUP[bsize, tx_y, ssx, ssy]
             tt = np.zeros_like(tx)
         else:
             tx = tx_y
@@ -308,6 +363,32 @@ def _pack_coeffs(plan, caps, layout, buf, lossless, bd=8):
     srcs = plan.coeffs
 
     assigned = np.zeros(len(A["tx"]), bool)
+    n_coo = 0
+    if "coeff_tx3c" in layout.segs:
+        # coo pre-pass: high-eob 32x32 units with few nonzero coeffs
+        # ship as (raster_idx, value) pairs (bucket doc at COO_PAIRS)
+        cm3 = layout.view(buf, "coeff_tx3c")
+        pm3 = layout.view(buf, "cpos_tx3c")
+        cap3 = caps["tx3c"]
+        cand = np.nonzero((A["tx"] == 3) & (A["eob"] > 64))[0]
+        for i in cand:
+            if n_coo >= cap3:
+                break
+            vals = srcs[A["plane"][i]][A["off"][i]:A["off"][i] + 1024]
+            nz = np.flatnonzero(vals)
+            if len(nz) > COO_PAIRS:
+                continue
+            v = vals[nz]
+            if np.abs(v).max(initial=0) > 32767:
+                continue  # range overflow: dense buckets handle it
+            cm3[n_coo, 0:2 * len(nz):2] = nz
+            cm3[n_coo, 1:2 * len(nz):2] = v
+            pm3[n_coo, 0] = A["plane"][i]
+            pm3[n_coo, 1] = A["y"][i] * 4 + 1
+            pm3[n_coo, 2] = A["x"][i] * 4
+            pm3[n_coo, 3] = 0  # tx3 is always DCT
+            assigned[i] = True
+            n_coo += 1
     counts = []
     for name, t, ncoef in COEFF_BUCKETS:
         if lossless and name != "tx0":
@@ -363,6 +444,7 @@ def _pack_coeffs(plan, caps, layout, buf, lossless, bd=8):
     if not assigned.all():
         _note_overflow("coeff_unassigned", int((~assigned).sum()), 0)
         return None
+    counts.append(n_coo)  # coo bucket count rides last
     return counts
 
 
@@ -485,11 +567,11 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
                     out[ts].append(rep)
 
     # ---- sub-8x8 blocks (split MVs), vectorized per (bwl, bhl) combo.
-    # The fused path is 4:2:0-only, so chroma MVs are the 4-way average
-    # (average_split_mvs ss 1,1; vp9_reconinter.c).
+    # Chroma MVs average the covering luma sub-MVs per the plane's
+    # subsampling (average_split_mvs, vp9_reconinter.c:112: direct at
+    # 4:4:4, pair average at 4:2:2, 4-way at 4:2:0).
     sel = inter & ~big
     if sel.any():
-        assert ss == (1, 1), "fused pack is 4:2:0-only"
         idx_all = np.nonzero(sel)[0]
         compound = mi.ref[br, bc, 1].astype(np.int32) > C.INTRA_FRAME
         filt_all = mi.interp_filter[br, bc].astype(np.int64)
@@ -497,6 +579,10 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
         def round_q4(v):
             q = np.where(v >= 0, v + 2, v - 2)
             return np.where(q >= 0, q // 4, -((-q) // 4))
+
+        def round_q2(v):
+            q = np.where(v >= 0, v + 1, v - 1)
+            return np.where(q >= 0, q // 2, -((-q) // 2))
 
         for wl, hl in sorted(set(zip(bwl[idx_all].tolist(),
                                      bhl[idx_all].tolist()))):
@@ -512,8 +598,8 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
                 filt = filt_all[idx]
                 bmv = mi.bmi_mv[r, c, :, ref_i].astype(np.int64)  # [n,4,2]
                 for plane in range(3):
-                    sx = 1 if plane else 0
-                    sy = 1 if plane else 0
+                    sx = ss[0] if plane else 0
+                    sy = ss[1] if plane else 0
                     n4w = (1 << wl) >> sx
                     n4h = (1 << hl) >> sy
                     cwl = np.empty(len(idx), np.int64)
@@ -524,10 +610,20 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
                             cwl[mk], chl[mk] = crop[(k - 1, plane)]
                     for y in range(n4h):
                         for x in range(n4w):
-                            if plane:
-                                mvv = round_q4(bmv.sum(axis=1))  # [n, 2]
-                            else:
-                                mvv = bmv[:, y * 2 + x]
+                            # PLANE-raster block index (average_split_mvs
+                            # is called with i = y*n4w + x per plane;
+                            # at 4:2:2 chroma block 1 therefore averages
+                            # luma blocks 1 and 2 — a normative quirk,
+                            # see ops/ref/recon.py:222)
+                            j = y * n4w + x
+                            if not plane or (sx | sy) == 0:
+                                mvv = bmv[:, j]      # 4:4:4: direct
+                            elif sx and sy:
+                                mvv = round_q4(bmv.sum(axis=1))
+                            elif sx:                 # 4:2:2: x-pair avg
+                                mvv = round_q2(bmv[:, j] + bmv[:, j + 1])
+                            else:                    # 4:4:0: y-pair avg
+                                mvv = round_q2(bmv[:, j] + bmv[:, j + 2])
                             dx = ((c * 8) >> sx) + 4 * x
                             dy = ((r * 8) >> sy) + 4 * y
                             scol = mvv[:, 1] << (1 - sx)
@@ -715,10 +811,24 @@ def _pack_mc(plan, refs, caps, layout, buf, pool_ha=None):
                     ok = False
                     break
                 part = tl[k0:min(k0 + chunk, e)]
-                arr[ci, :len(part)] = part
+                if ts == "s":
+                    arr[ci, :len(part)] = part
+                else:
+                    # wire projection: (dx, dy+1, sr, sc, filt, 0)
+                    wp = arr[ci, :len(part)]
+                    wp[:, 0] = part[:, 1]
+                    wp[:, 1] = part[:, 2]
+                    wp[:, 2] = ((part[:, 5] - (part[:, 2] - 1)) << 4) \
+                        | part[:, 7]
+                    wp[:, 3] = ((part[:, 4] - part[:, 1]) << 4) \
+                        | part[:, 6]
+                    wp[:, 4] = part[:, 8]
                 hdrarr[ci, 0] = tl[s, 3]
                 hdrarr[ci, 1] = tl[s, 0]
                 hdrarr[ci, 2] = srow[s]
+                if ts != "s":
+                    hdrarr[ci, 3] = tl[s, 9]    # ref crop width
+                    hdrarr[ci, 4] = tl[s, 10]   # ref crop height
                 ci += 1
                 if tl[s, 11] == 0:
                     c0 = ci  # chunks are ref_i-homogeneous, ref0 first
@@ -777,13 +887,14 @@ def _pack_intra(plan, caps, layout, buf):
     if not rows:
         return 0
     rows.sort(key=lambda t: (t[0], t[1]))
+    ichunk = chunks.shape[1]
     ci = 0
     pos = 0
     cur_key = (rows[0][0], rows[0][1])
     chunk_bs[0] = rows[0][1]
     for t in rows:
         key = (t[0], t[1])
-        if key != cur_key or pos == CHUNK_INTRA:
+        if key != cur_key or pos == ichunk:
             ci += 1
             if ci >= cap:
                 _note_overflow("intra", ci + 1, cap)
@@ -805,8 +916,36 @@ def _pack_lf(plan, caps, layout, buf):
     (lvl_y, vy, hy), (lvl_uv, vuv, huv) = lfmeta.build_lf_metadata(
         plan.mi, plan.seg_map, hdr)
     thr = make_thresholds(hdr.lf.sharpness_level)
+    if "lfm_c" not in layout.segs and "lfw_v" not in layout.segs:
+        layout.view(buf, "lfm")[:] = pack_lfm_fields(
+            lvl_y, vy, hy, lvl_uv, vuv, huv, thr,
+            hdr.mi_rows, hdr.mi_cols)
+        return 1
+    # non-4:2:0: luma through the normal kernel (chroma fields zeroed)
+    z1 = np.zeros((1, 1), lvl_uv.dtype)
+    zb = np.zeros((1, 1), bool)
+    zm = (zb, zb, zb, zb)
     layout.view(buf, "lfm")[:] = pack_lfm_fields(
-        lvl_y, vy, hy, lvl_uv, vuv, huv, thr, hdr.mi_rows, hdr.mi_cols)
+        lvl_y, vy, hy, z1, zm, zm, thr, hdr.mi_rows, hdr.mi_cols)
+    if "lfm_c" in layout.segs:
+        # 4:4:4: chroma masks in luma format at the chroma cell grid
+        rc = cdiv(hdr.mi_rows, 1 << hdr.subsampling_y)
+        cc = cdiv(hdr.mi_cols, 1 << hdr.subsampling_x)
+        layout.view(buf, "lfm_c")[:] = pack_lfm_fields(
+            lvl_uv, vuv, huv, z1, zm, zm, thr, rc, cc)
+        return 1
+    # 4:2:2: per-cell mask bitfields + thresholds for the sequential
+    # tile path (ops/device/lf_wave.py)
+    mb_t, lm_t, hv_t = thr
+    lv = np.clip(lvl_uv, 0, 63)
+    R0, C0 = lvl_uv.shape
+    for nm, masks in (("lfw_v", vuv), ("lfw_h", huv)):
+        dst = layout.view(buf, nm)
+        bits = sum((m.astype(np.int16) << k) for k, m in enumerate(masks))
+        dst[:R0, :C0] = bits
+    for nm, tab in (("lfw_mb", mb_t), ("lfw_lm", lm_t), ("lfw_hv", hv_t)):
+        dst = layout.view(buf, nm)
+        dst[:R0, :C0] = tab[lv].astype(np.int16)
     return 1
 
 
@@ -858,6 +997,7 @@ def pack_frame(plan, refs, caps, layout, pool_ha=None):
     # bucket (cdiv(filled units, chunk))
     for b, (name, _, _) in enumerate(COEFF_BUCKETS):
         misc[MISC_TRIP[name]] = cdiv(ncoeff[b], COEFF_CHUNK[name])
+    misc[MISC_TRIP_TX3C] = cdiv(ncoeff[len(COEFF_BUCKETS)], CHUNK_TX3C)
     # misc[23..25]: first compound-average chunk per MC class (chunks
     # before it are unique-destination first-reference predictions)
     for i in range(3):

@@ -41,14 +41,17 @@ def _tier_ladder(K):
     compiled step variant; per frame the smallest tier >= the frame's
     non-zero page count is used (upload bytes AND the in-step expansion
     scatter scale with the tier, so a fixed one-size tier wastes 5-8x on
-    typical frames).  Frames denser than the largest tier ship dense."""
+    typical frames).  1.5x steps: the expected tier-rounding waste is
+    ~20% of the payload (x2 steps averaged ~45%, which at ~200 KB/frame
+    was the single biggest remaining upload cost).  Frames denser than
+    the largest tier ship dense."""
     ts = []
     t = 64
     # 32766 cap: the gather-layout page map g[K] is int16 (1-based data
     # row indices); denser frames ship the whole buffer
     while t * 4 <= K * 3 and t <= 32766:
         ts.append(t)
-        t *= 2
+        t = (t * 3 // 2 + 63) & ~63
     return ts
 
 
@@ -94,16 +97,17 @@ class LazyPlanes:
     overlaps the next batch's host work).  Accessing a plane before its
     batch was dispatched triggers a queue flush."""
 
-    def __init__(self, recon, slot, ha, wa):
+    def __init__(self, recon, slot, ha, wa, ss=(1, 1)):
         self._recon = recon
         self._slot = slot
         self._geom = (ha, wa)
+        self._ss = ss
         self._planes = None
         self._fut = None     # (future -> np rows, row index) once dispatched
 
     def _set_from_ring(self, row):
         ha, wa = self._geom
-        hc, wc = ha >> 1, wa >> 1
+        hc, wc = ha >> self._ss[1], wa >> self._ss[0]
         ny, nc = ha * wa, hc * wc
         self._planes = [
             row[:ny].reshape(ha, wa).astype(np.uint16),
@@ -313,7 +317,13 @@ class TpuReconFused:
         hdr = plan.hdr
         if hdr.bit_depth not in (8, 10, 12):
             return False
-        if hdr.subsampling_x != 1 or hdr.subsampling_y != 1:
+        if (hdr.subsampling_x, hdr.subsampling_y) not in ((1, 1), (0, 0),
+                                                          (1, 0)):
+            return False
+        if (hdr.subsampling_x, hdr.subsampling_y) != (1, 1) \
+                and not hdr.frame_is_intra_only \
+                and self._any_scaled(plan, refs):
+            # scaled refs + non-4:2:0: host oracle (no mcs class there)
             return False
         if not hdr.frame_is_intra_only and self._any_scaled(plan, refs):
             # scaled references decode on device via the "mcs" tile
@@ -364,18 +374,19 @@ class TpuReconFused:
         hdr = plan.hdr
         need = self._pool_geom_for(plan, refs)
         bd = hdr.bit_depth
+        ss = (hdr.subsampling_x, hdr.subsampling_y)
         cur = self._pool_geom
-        if cur is not None and cur[2] == bd \
+        if cur is not None and cur[2] == (bd, ss) \
                 and need[0] <= cur[0] and need[1] <= cur[1]:
             if not (hdr.frame_type == C.KEY_FRAME and need != cur[:2]):
                 return cur[0], cur[1]
         self.flush()
         pha, pwa = need
-        nout = pha * pwa + 2 * ((pha >> 1) * (pwa >> 1))
+        nout = pha * pwa + 2 * ((pha >> ss[1]) * (pwa >> ss[0]))
         odt = jnp.uint8 if bd == 8 else jnp.int16
         self._pool = jnp.zeros((8, 3, pha, pwa), jnp.int32)
         self._ring = jnp.zeros((self.RING, nout), odt)
-        self._pool_geom = (pha, pwa, bd)
+        self._pool_geom = (pha, pwa, (bd, ss))
         self._slot_dirty = [True] * 8
         return pha, pwa
 
@@ -453,12 +464,13 @@ class TpuReconFused:
         tier = "full" if hdr.frame_is_intra_only else (
             "scaled" if scaled else "tight")
         bd = hdr.bit_depth
+        ss = (hdr.subsampling_x, hdr.subsampling_y)
         pool_geom = self._ensure_pool(plan, refs)
         ha = ((hdr.mi_rows + 7) & ~7) * 8
         wa = ((hdr.mi_cols + 7) & ~7) * 8
         step, caps, layout = self.fused.get_frame_step(
             hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless), bd=bd,
-            pool_geom=pool_geom)
+            pool_geom=pool_geom, ss=ss)
 
         if self._ring_slot >= self.RING:
             # ring wrap: dispatch queued steps (their output rows are
@@ -477,7 +489,7 @@ class TpuReconFused:
         frame_geom = (ha, wa)
 
         def pack_with(caps, layout):
-            if nparser is not None:
+            if nparser is not None and ss == (1, 1):
                 # single-pass C++ packer on the parser's live state
                 # (incl. the scaled-reference mcs class; band geometry
                 # spans the pool canvas when it exceeds the frame)
@@ -498,7 +510,7 @@ class TpuReconFused:
             tier = "wide"
             step, caps, layout = self.fused.get_frame_step(
                 hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless), bd=bd,
-                pool_geom=pool_geom)
+                pool_geom=pool_geom, ss=ss)
             flat = pack_with(caps, layout)
         self._tw["pack"] += _time.time() - _tp0
         if flat is None:
@@ -516,11 +528,11 @@ class TpuReconFused:
         if comb is not None:
             step, _, _ = self.fused.get_frame_step(
                 hdr.mi_rows, hdr.mi_cols, tier, bool(hdr.lossless),
-                bd=bd, pages_tier=ptier, pool_geom=pool_geom)
+                bd=bd, pages_tier=ptier, pool_geom=pool_geom, ss=ss)
             payload = comb
         else:
             payload = flat
-        planes = LazyPlanes(self, slot, ha, wa)
+        planes = LazyPlanes(self, slot, ha, wa, ss)
         self._queue.append(("step", step, payload, planes))
         self._pending.append(planes)
         self._ring_slot = slot + 1

@@ -22,7 +22,8 @@ from conftest import fixture_streams
 FAST = [s for s in fixture_streams()
         if s[0] in ("kf01_64x64", "in01_176x144",
                     "ll01_176x144_lossless", "p2_01_176x144_10b",
-                    "dn01_176x144_dense")]
+                    "dn01_176x144_dense", "p1_01_176x144_444",
+                    "p1_02_176x144_422")]
 # slow tier: the rest of the corpus through the fused path.  HD
 # geometries only run on a real accelerator — the XLA:CPU compile of a
 # 1080p fused step takes tens of minutes and validates nothing the TPU
@@ -45,9 +46,7 @@ def _check_fused(name, ivf, md5):
         assert digest == golden[i], f"{name} frame {i} MD5 mismatch"
         n += 1
     assert n > 0
-    # 4:2:2/4:4:4 frames legitimately run on the host
-    if not name.startswith("p1_"):
-        assert recon.frames_on_device > 0, "fused path never ran on device"
+    assert recon.frames_on_device > 0, "fused path never ran on device"
 
 
 @pytest.mark.parametrize("name,ivf,md5", FAST, ids=[s[0] for s in FAST])

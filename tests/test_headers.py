@@ -42,10 +42,12 @@ def test_parse_all_fixture_headers(name, ivf, md5):
         if hdr.show_existing_frame:
             shown += 1
             continue
-        if "scaled" in name or "compound" in name or "svc" in name:
-            # mid-stream-resize / layered fixtures: per-frame sizes
-            # differ from the container by design (2x down, fractional,
-            # 2x up; SVC base layers at sub-resolutions)
+        if ("scaled" in name or "compound" in name or "svc" in name
+                or "resize" in name or "super" in name):
+            # mid-stream-resize / layered / superframe fixtures:
+            # per-frame sizes differ from the container by design (2x
+            # down, fractional, 2x up; SVC base layers and hidden
+            # superframe members at sub-resolutions)
             assert 0 < hdr.width <= 2 * cw and 0 < hdr.height <= 2 * ch
         else:
             assert (hdr.width, hdr.height) == (cw, ch)

@@ -56,6 +56,10 @@ def run_batched():
     dec = BatchedFusedDecoder(N, defer_output=NOBLIT)
     for i in range(nf):
         dec.decode_round([p[i] for p in streams])
+    if os.environ.get("MSB_TIMERS"):
+        tw = {k: (round(v, 2) if isinstance(v, float) else v)
+              for k, v in dec._tw.items()}
+        print("batched tw:", tw, flush=True)
     n = 0
     for _s, fr in dec.drain():
         if not NOBLIT:
