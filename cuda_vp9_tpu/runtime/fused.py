@@ -156,7 +156,7 @@ def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
 
 def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
              w, h, br, bd):
-    """Apply one MC tile class.  mc_units [CAPC, CHUNK, 12]; chunks
+    """Apply one MC tile class.  mc_units [CAPC, CHUNK, 6]; chunks
     [0, n_ref0) are first-reference predictions (unique destinations),
     chunks [n_ref0, n_chunks) are compound second predictions that
     average into the first pass's output.
