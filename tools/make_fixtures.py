@@ -598,7 +598,35 @@ def main_round4():
             ["gop=5", "crf=30", "cpu_used=1"])
     gen_vp8("v8kf03_odd_98x66", 98, 66, 3, ["gop=1", "crf=28",
                                             "cpu_used=2"])
+    main_round4b()
     print("round-4 fixtures written to", FIXDIR)
+
+
+def main_round4b():
+    """Second round-4 batch: remaining test_vectors.cc-style breadth
+    (sharp/smooth interp filters via cpu-used extremes, 12-bit inter,
+    long-gop low-delay, tiny tiles, static scenes, more VP8)."""
+    build_oracle()
+    gen("in06_176x144_static", 176, 144, 15,
+        ["gop=9999", "crf=30", "cpu_used=1", "fps=10"], seed=3)
+    gen("in07_352x288_himotion", 352, 288, 12,
+        ["gop=9999", "crf=40", "cpu_used=0"], seed=21)
+    gen("br03_176x144_vlowbr", 176, 144, 15,
+        ["gop=9999", "bitrate=30000", "cpu_used=2"])
+    gen("p2_04_176x144_12b_inter", 176, 144, 10,
+        ["gop=9999", "crf=30", "cpu_used=2", "bitdepth=12", "profile=2"],
+        bitdepth=12)
+    gen("ll02_96x64_lossless_inter", 96, 64, 8,
+        ["gop=9999", "lossless=1", "crf=0", "cpu_used=2"])
+    gen("tl03_640x360_t4", 640, 360, 6,
+        ["gop=9999", "crf=38", "cpu_used=4", "tile_cols=2"])
+    gen_ss("p1_04_176x144_422_long", 176, 144, 10, 422,
+           ["gop=9999", "crf=32", "cpu_used=2"])
+    gen_vp8("v8in05_352x288_static", 352, 288, 10,
+            ["gop=9999", "crf=28", "cpu_used=1"], seed=3)
+    gen_vp8("v8br01_176x144_vbr", 176, 144, 10,
+            ["gop=6", "bitrate=80000", "cpu_used=1"])
+    print("round-4b fixtures written to", FIXDIR)
 
 
 def gen_svc3(name: str, w: int, h: int, n: int, seed: int = 7):
@@ -630,4 +658,6 @@ def gen_svc3(name: str, w: int, h: int, n: int, seed: int = 7):
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "round4":
         sys.exit(main_round4())
+    if len(sys.argv) > 1 and sys.argv[1] == "round4b":
+        sys.exit(main_round4b())
     sys.exit(main())
