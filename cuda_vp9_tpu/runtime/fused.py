@@ -606,12 +606,11 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         if out.shape[0] < nout_ring:
             # ring rows are pool-geometry sized; pad the tail
             out = jnp.zeros((nout_ring,), odt).at[:out.shape[0]].set(out)
-        # one-hot row select (not dynamic_update_slice): a traced-index
-        # DUS lowers to a scatter under vmap (~6 ns/element over the
-        # whole batched ring per round); the select is bandwidth-bound
-        # and fast under both jit and vmap
-        sel = (jnp.arange(ring.shape[0], dtype=I32) == misc[13])[:, None]
-        ring = jnp.where(sel, out[None, :], ring)
+        # dynamic_update keeps the donated ring in place; a one-hot
+        # where() was tried for the batched path and measured ~2x WORSE
+        # there (it materializes the whole [N, RING, nout] ring per
+        # round instead of updating one row)
+        ring = jax.lax.dynamic_update_index_in_dim(ring, out, misc[13], 0)
         return pool, ring
 
     if not jit_wrap:
