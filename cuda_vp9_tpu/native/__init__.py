@@ -73,8 +73,8 @@ class _PackIn(ct.Structure):
         ("total_len", ct.c_int64),
         ("lossless", ct.c_int32), ("ring_slot", ct.c_int32),
         ("ha", ct.c_int32), ("lf_k", ct.c_int32),
-        ("coeff_off", ct.c_int64 * 11), ("cpos_off", ct.c_int64 * 11),
-        ("coeff_cap", ct.c_int64 * 11),
+        ("coeff_off", ct.c_int64 * 12), ("cpos_off", ct.c_int64 * 12),
+        ("coeff_cap", ct.c_int64 * 12),
         ("mc_off", ct.c_int64 * 3), ("mch_off", ct.c_int64 * 3),
         ("mc_cap", ct.c_int64 * 3),
         ("intra_off", ct.c_int64), ("chunkbs_off", ct.c_int64),
@@ -83,7 +83,7 @@ class _PackIn(ct.Structure):
         ("misc_off", ct.c_int64),
         ("crop", ((ct.c_int32 * 2) * 3) * 3),
         ("highbd", ct.c_int32),
-        ("coeffh_off", ct.c_int64 * 11),
+        ("coeffh_off", ct.c_int64 * 12),
         # scaled-reference "mcs" class (tier "scaled"; mcs_cap 0 = absent)
         ("mcs_off", ct.c_int64), ("mcsh_off", ct.c_int64),
         ("mcs_cap", ct.c_int64),
@@ -92,11 +92,16 @@ class _PackIn(ct.Structure):
         ("c3_off", ct.c_int64), ("c3pos_off", ct.c_int64),
         ("c3_cap", ct.c_int64),
         ("intra_chunk", ct.c_int32), ("pad1", ct.c_int32),
+        # tx3cs coo bucket: 16 pairs for any eob > 16, <= 16 nonzeros
+        ("c3s_off", ct.c_int64), ("c3spos_off", ct.c_int64),
+        ("c3s_cap", ct.c_int64),
+        ("mc_chunk", ct.c_int64 * 3),   # per-geometry MC chunk lengths
+        ("lfthr_off", ct.c_int64),      # [64, 4] level->threshold table
     ]
 
 
-_COEFF_NAMES = ("tx0s", "tx0", "tx1s", "tx1", "tx2xs", "tx2s",
-                "tx2d", "tx3xs", "tx3s", "tx3m", "tx3d")
+_COEFF_NAMES = ("tx0s", "tx0", "tx1s", "tx1m", "tx1", "tx2xs",
+                "tx2s", "tx2d", "tx3xs", "tx3s", "tx3m", "tx3d")
 
 
 _lib = None
@@ -258,10 +263,14 @@ class NativeParser:
                 pi.c3_off = layout.segs["coeff_tx3c"][0]
                 pi.c3pos_off = layout.segs["cpos_tx3c"][0]
                 pi.c3_cap = caps["tx3c"]
+                pi.c3s_off = layout.segs["coeff_tx3cs"][0]
+                pi.c3spos_off = layout.segs["cpos_tx3cs"][0]
+                pi.c3s_cap = caps["tx3cs"]
             for i, name in enumerate(("mc4", "mc8", "mc16")):
                 pi.mc_off[i] = layout.segs[name][0]
                 pi.mch_off[i] = layout.segs[name + "h"][0]
                 pi.mc_cap[i] = caps[name]
+                pi.mc_chunk[i] = layout.segs[name][1][1]
             if "mcs" in layout.segs:
                 pi.mcs_off = layout.segs["mcs"][0]
                 pi.mcsh_off = layout.segs["mcsh"][0]
@@ -272,6 +281,7 @@ class NativeParser:
             pi.intra_cap = caps["intra"]
             pi.mimask_off = layout.segs["mi_mask"][0]
             pi.lfm_off = layout.segs["lfm"][0]
+            pi.lfthr_off = layout.segs["lf_thr"][0]
             pi.misc_off = layout.segs["misc"][0]
             self._packin_cache[key] = (layout, pi)
         return pi

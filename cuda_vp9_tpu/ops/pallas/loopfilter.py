@@ -21,10 +21,11 @@ filters on the CPU):
    the normative raster scan (SB (r,c) needs (r,c-1) and (r-1,c+1)).
    Each step filters up to K superblocks BATCHED: every filter op works
    on [K, 64] (luma) / [K, 2, 32] (chroma) vectors.
- * Per-cell masks+thresholds are packed on the host into one int16
-   tensor ([n_sbs, 8, 128], see pack_lfm_fields) and expanded
-   cell->pixel in-kernel with a one-hot f32 matmul (exact for small
-   ints; elementwise gathers don't vectorize on TPU).
+ * Per-cell masks+levels are packed on the host into one int16 tensor
+   ([n_sbs, 2, 128] of bits | level<<4, see pack_lfm_fields); the
+   level->threshold tables ship once per frame ([64, 4]) and expand
+   in-kernel, then cell->pixel via one-hot f32 matmuls (exact for
+   small ints; elementwise gathers don't vectorize on TPU).
 
 Bit-exactness: all filter math in int32, mirroring
 ops/ref/loopfilter.py (the validated NumPy oracle).
@@ -69,25 +70,25 @@ def _expand_mats():
     return By, Bc
 
 
-# field packing: row = (dir*2 + plane)*2 + f_hi, lanes = f_lo*64 + chain*8
-# + cell, field index f = f_hi*2 + f_lo in (bits, mblim, lim, hev)
-def _field_pos(d, p, f):
-    return (d * 2 + p) * 2 + (f >> 1), (f & 1) * 64
-
-
+# lfm packing: one int16 per cell per direction — bits | level << 4
+# (bits = m16|m8<<1|m4<<2|m4i<<3; level 0..63).  Row = direction d,
+# lanes = plane*64 + chain*8 + cell.  The level->threshold tables
+# (mblim, lim, hev) ship once per frame as a separate [64, 4] tensor and
+# expand in-kernel via a one-hot matmul — 4x fewer lfm bytes than
+# shipping per-cell thresholds, and cells with no active edge pack to 0
+# so skip regions page-elide (lfm was measured as THE dominant upload
+# segment at 1080p on loop-filter-active streams).
 def pack_lfm_fields(lvl_y, masks_vy, masks_hy, lvl_uv, masks_vuv, masks_huv,
-                    thr, mi_rows, mi_cols):
-    """Host packer: per-cell LF metadata -> [n_sbs_pad, 8, 128] int16.
+                    mi_rows, mi_cols):
+    """Host packer: per-cell LF metadata -> [n_sbs_pad, 2, 128] int16.
 
-    masks_* are (m16, m8, m4, m4i) bool [R, C] cell grids (lfmeta.py);
-    thr = (mblim, lim, hev) 64-entry level tables.  v-dir grids are
-    stored per-SB TRANSPOSED ([chain=cellcol, along=cellrow]); h-dir as
-    [chain=cellrow, along=cellcol]."""
+    masks_* are (m16, m8, m4, m4i) bool [R, C] cell grids (lfmeta.py).
+    v-dir grids are stored per-SB TRANSPOSED ([chain=cellcol,
+    along=cellrow]); h-dir as [chain=cellrow, along=cellcol]."""
     sb_rows, sb_cols = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
     g_rows = cdiv(sb_rows, K) * K
     n_sbs = g_rows * sb_cols
-    out = np.zeros((n_sbs, 8, 128), np.int16)
-    mb_t, lm_t, hv_t = thr
+    out = np.zeros((n_sbs, 2, 128), np.int16)
 
     def sb_grids(cells, g):
         """[R, C] cell grid -> [n_sbs, 8, 8] per-SB grids (zero padded)."""
@@ -102,22 +103,30 @@ def pack_lfm_fields(lvl_y, masks_vy, masks_hy, lvl_uv, masks_vuv, masks_huv,
             (lvl_uv, masks_vuv, masks_huv, 4))):
         bits = {0: sum((m.astype(np.int16) << k) for k, m in enumerate(mv)),
                 1: sum((m.astype(np.int16) << k) for k, m in enumerate(mh))}
-        lv = np.clip(lvl, 0, 63)
-        fields = {1: mb_t[lv].astype(np.int16),
-                  2: lm_t[lv].astype(np.int16),
-                  3: hv_t[lv].astype(np.int16)}
+        lv = np.clip(lvl, 0, 63).astype(np.int16)
         for d in range(2):
-            for f in range(4):
-                cells = bits[d] if f == 0 else fields[f]
-                grids = sb_grids(cells, g)            # [n, g, g]
-                if d == 0:                            # v: chain = cellcol
-                    grids = grids.transpose(0, 2, 1)
-                row, lo = _field_pos(d, p, f)
-                # lanes: chain*8 + cell
-                n = grids.shape[0]
-                tmp = np.zeros((n, 8, 8), np.int16)
-                tmp[:, :g, :g] = grids
-                out[:, row, lo:lo + 64] = tmp.reshape(n, 64)
+            b = bits[d]
+            lvb = np.broadcast_to(lv, b.shape) if lv.shape != b.shape \
+                else lv
+            cells = np.where(b != 0, b | (lvb << 4), 0).astype(np.int16)
+            grids = sb_grids(cells, g)            # [n, g, g]
+            if d == 0:                            # v: chain = cellcol
+                grids = grids.transpose(0, 2, 1)
+            n = grids.shape[0]
+            tmp = np.zeros((n, 8, 8), np.int16)
+            tmp[:, :g, :g] = grids
+            out[:, d, p * 64:p * 64 + 64] = tmp.reshape(n, 64)
+    return out
+
+
+def pack_lf_thresholds(thr):
+    """(mblim, lim, hev) 64-entry level tables -> [64, 4] int16 (column
+    f = 1, 2, 3; column 0 unused) for the in-kernel level expansion."""
+    mb_t, lm_t, hv_t = thr
+    out = np.zeros((64, 4), np.int16)
+    out[:, 1] = mb_t
+    out[:, 2] = lm_t
+    out[:, 3] = hv_t
     return out
 
 
@@ -218,22 +227,33 @@ def _edge_chain(W, k16, k8, k4, k4i, mb, lm, hv, bd):
     return {k: out[k] for k in range(1, 15)}
 
 
-def _expand(mkt, d, p, f, B, width):
-    """[K, 8, 128] packed masks -> [K, nchain*width] expanded field."""
-    row, lo = _field_pos(d, p, f)
-    x = mkt[:, row, lo:lo + 64].astype(jnp.float32)
-    y = jax.lax.dot_general(x, B[:], (((1,), (0,)), ((), ())),
+def _expand(x, B):
+    """[K, 64] per-cell field -> [K, nchain*width] per-pixel expansion."""
+    y = jax.lax.dot_general(x.astype(jnp.float32), B[:],
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     return y.astype(I32)
 
 
-def _run_chains(tile_get, tile_put, mkt, B, d, p, nchain, width, bd,
-                reshape):
-    """All chains of one (direction, plane) on the resident tiles."""
-    bits = _expand(mkt, d, p, 0, B, width)
-    mb = _expand(mkt, d, p, 1, B, width) << (bd - 8)
-    lm = _expand(mkt, d, p, 2, B, width) << (bd - 8)
-    hv = _expand(mkt, d, p, 3, B, width) << (bd - 8)
+def _run_chains(tile_get, tile_put, mkt, thr_v, B, d, p, nchain, width,
+                bd, reshape):
+    """All chains of one (direction, plane) on the resident tiles.
+
+    mkt rows hold bits | level << 4 per cell; the level expands to the
+    (mblim, lim, hev) thresholds via a one-hot matmul against the
+    [64, 4] per-frame threshold table thr_v."""
+    raw = mkt[:, d, p * 64:p * 64 + 64]              # [K, 64] cells
+    bits_c = raw & 15
+    lvl = raw >> 4
+    oh = (lvl[:, :, None] ==
+          jax.lax.broadcasted_iota(I32, (1, 1, 64), 2)).astype(jnp.float32)
+    thr3 = jax.lax.dot_general(
+        oh, thr_v[:].astype(jnp.float32), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [K, 64, 4]
+    bits = _expand(bits_c, B)
+    mb = _expand(thr3[:, :, 1], B) << (bd - 8)
+    lm = _expand(thr3[:, :, 2], B) << (bd - 8)
+    hv = _expand(thr3[:, :, 3], B) << (bd - 8)
     for i in range(nchain):
         sl = slice(i * width, (i + 1) * width)
         b = reshape(bits[:, sl])
@@ -253,7 +273,7 @@ def _run_chains(tile_get, tile_put, mkt, B, d, p, nchain, width, bd,
 def _make_kernel(sb_rows, sb_cols, bd):
     steps = sb_cols + 2 * (K - 1)
 
-    def kernel(lf_on_ref, yT_in, cT_in, lfm_hbm, By, Bc, yT, cT,
+    def kernel(lf_on_ref, yT_in, cT_in, lfm_hbm, By, Bc, thr_v, yT, cT,
                bandy, bandc, mks, tv, th, cv, ch, mkt, semy, semc, semm):
         g = pl.program_id(0)
         run = lf_on_ref[0] > 0
@@ -300,13 +320,14 @@ def _make_kernel(sb_rows, sb_cols, bd):
                     lambda i, t: tv[:, i * 8 + t, 8:72],
                     lambda i, t, v: tv.__setitem__(
                         (slice(None), i * 8 + t, slice(8, 72)), v),
-                    mkt, By, 0, 0, 8, 64, bd, lambda m: m)
+                    mkt, thr_v, By, 0, 0, 8, 64, bd, lambda m: m)
                 _run_chains(
                     lambda i, t: cv[:, :, i * 8 + t, 8:40],
                     lambda i, t, v: cv.__setitem__(
                         (slice(None), slice(None), i * 8 + t,
                          slice(8, 40)), v),
-                    mkt, Bc, 0, 1, 4, 32, bd, lambda m: m[:, None, :])
+                    mkt, thr_v, Bc, 0, 1, 4, 32, bd,
+                    lambda m: m[:, None, :])
 
                 # horizontal chains on untransposed tiles
                 th[:] = jnp.swapaxes(tv[:], 1, 2)
@@ -315,13 +336,14 @@ def _make_kernel(sb_rows, sb_cols, bd):
                     lambda j, t: th[:, j * 8 + t, 8:72],
                     lambda j, t, v: th.__setitem__(
                         (slice(None), j * 8 + t, slice(8, 72)), v),
-                    mkt, By, 1, 0, 8, 64, bd, lambda m: m)
+                    mkt, thr_v, By, 1, 0, 8, 64, bd, lambda m: m)
                 _run_chains(
                     lambda j, t: ch[:, :, j * 8 + t, 8:40],
                     lambda j, t, v: ch.__setitem__(
                         (slice(None), slice(None), j * 8 + t,
                          slice(8, 40)), v),
-                    mkt, Bc, 1, 1, 4, 32, bd, lambda m: m[:, None, :])
+                    mkt, thr_v, Bc, 1, 1, 4, 32, bd,
+                    lambda m: m[:, None, :])
                 tv[:] = jnp.swapaxes(th[:], 1, 2)
                 cv[:] = jnp.swapaxes(ch[:], 2, 3)
 
@@ -357,11 +379,14 @@ def _make_kernel(sb_rows, sb_cols, bd):
 
 @functools.partial(
     jax.jit, static_argnames=("mi_rows", "mi_cols", "bd", "interpret"))
-def lf_frame(F, lfm, lf_on, *, mi_rows, mi_cols, bd=8, interpret=False):
+def lf_frame(F, lfm, thr, lf_on, *, mi_rows, mi_cols, bd=8,
+             interpret=False):
     """Loop filter F [3, ha, wa] int32 in place-semantics; returns new F.
 
-    lfm: [n_sbs_pad, 8, 128] int16 (pack_lfm_fields); lf_on: int32 scalar
-    (0 skips all work, same dispatch)."""
+    lfm: [n_sbs_pad, 2, 128] int16 (pack_lfm_fields: bits | level<<4 per
+    cell); thr: [64, 4] int16 level->threshold table
+    (pack_lf_thresholds); lf_on: int32 scalar (0 skips all work, same
+    dispatch)."""
     ha, wa = F.shape[1], F.shape[2]
     sb_rows, sb_cols = ha // 64, wa // 64
     G = cdiv(sb_rows, K)
@@ -384,18 +409,19 @@ def lf_frame(F, lfm, lf_on, *, mi_rows, mi_cols, bd=8, interpret=False):
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((wa + 16, 64 * K + 128), jnp.int16),
             pltpu.VMEM((2, wc + 16, 32 * K + 128), jnp.int16),
-            pltpu.VMEM((K * sb_cols, 8, 128), jnp.int16),
+            pltpu.VMEM((K * sb_cols, 2, 128), jnp.int16),
             pltpu.VMEM((K, 80, 72), I32),
             pltpu.VMEM((K, 72, 80), I32),
             pltpu.VMEM((K, 2, 48, 40), I32),
             pltpu.VMEM((K, 2, 40, 48), I32),
-            pltpu.VMEM((K, 8, 128), I32),
+            pltpu.VMEM((K, 2, 128), I32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -411,7 +437,7 @@ def lf_frame(F, lfm, lf_on, *, mi_rows, mi_cols, bd=8, interpret=False):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
     lf_on_arr = jnp.full((1,), lf_on, I32)
-    yT2, cT2 = fn(lf_on_arr, yT, cT, lfm, By, Bc)
+    yT2, cT2 = fn(lf_on_arr, yT, cT, lfm, By, Bc, thr)
     Fy = yT2[8:wa + 8, 8:ha + 8].transpose(1, 0).astype(I32)
     Fc = cT2[:, 8:wc + 8, 8:hc + 8].transpose(0, 2, 1).astype(I32)
     out = jnp.zeros_like(F)

@@ -69,9 +69,10 @@ def _residual_pass(R, coeffs, pos, tx_size, lossless, bd):
 def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
     """Predict one chunk of MC tiles via segment-window MXU matmuls.
 
-    u [CHUNK, 6] tile params (dx, dy+1, sr, sc, filt, pad) where
+    u [CHUNK, 4] tile params (dx | filt<<13, dy+1, sr, sc) where
     sr/sc = ((src - dst) << 4) | subpel_q4 — the only per-tile payload
-    (everything else is chunk-constant); hd [8] = (slot, plane, srow,
+    (everything else is chunk-constant; dx < 2^13 and filt < 4 share a
+    word, so a tile costs 8 wire bytes); hd [8] = (slot, plane, srow,
     cw, chh, ...): the whole chunk reads one [br, wa] row band of one
     reference plane (pack groups chunks that way).  Three-stage
     formulation, all integer-exact:
@@ -88,13 +89,13 @@ def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
     [wa, w] banded matrix: the filter operand is 32 wide, not wa."""
     N = u.shape[0]
     wa = pool.shape[3]
-    dx = u[:, 0]
+    dx = u[:, 0] & 0x1FFF
+    filt = u[:, 0] >> 13
     dy = u[:, 1] - 1
     x0 = dx + (u[:, 3] >> 4)
     y0 = dy + (u[:, 2] >> 4)
     spx = u[:, 3] & 15
     spy = u[:, 2] & 15
-    filt = u[:, 4]
     cw = jnp.full((N,), hd[3], I32)
     chh = jnp.full((N,), hd[4], I32)
     ih = h + 7
@@ -155,11 +156,22 @@ def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
 
 
 def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
-             w, h, br, bd):
-    """Apply one MC tile class.  mc_units [CAPC, CHUNK, 6]; chunks
+             w, h, br, bd, trip=None):
+    """Apply one MC tile class.  mc_units [CAPC, CHUNK, 4]; chunks
     [0, n_ref0) are first-reference predictions (unique destinations),
     chunks [n_ref0, n_chunks) are compound second predictions that
     average into the first pass's output.
+
+    trip: loop trip count — defaults to n_chunks.  The batched
+    multi-stream path passes the round-max here as an UNBATCHED scalar
+    (shared across the vmapped stream axis) so the fori_loop keeps a
+    shared trip under vmap: a per-stream trip would lower to a
+    predicated while_loop whose every iteration selects over the whole
+    [N, ...] carry (measured ~20x the cost of N single-stream steps).
+    Chunks in [n_chunks, trip) are zero-padded and drop at landing.
+    In shared-trip mode the 4x4 class runs ONE masked loop (packers
+    align n_ref0 up to a G multiple so no scatter group mixes a ref0
+    tile with an avg tile of the same stream).
 
     Landing strategy (measured on v5e, tools/profiling/scatter_floor.py):
     XLA tile scatter costs ~6 ns/element regardless of shape, so scatter
@@ -175,6 +187,9 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
     group, bounding scatter count by actual coded tiles."""
     CAPC, CH = mc_units.shape[0], mc_units.shape[1]
     ha, wa = F.shape[1], F.shape[2]
+    shared = trip is not None
+    if trip is None:
+        trip = n_chunks
 
     if w >= 8:
         stage = jnp.zeros((CAPC * CH, h * w), I32)
@@ -186,10 +201,10 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
             return jax.lax.dynamic_update_slice(
                 stage, out.reshape(CH, h * w), (ci * CH, 0))
 
-        stage = jax.lax.fori_loop(0, n_chunks, body, stage)
-        uu = mc_units.reshape(CAPC * CH, 6)
+        stage = jax.lax.fori_loop(0, trip, body, stage)
+        uu = mc_units.reshape(CAPC * CH, 4)
         plane = jnp.repeat(mc_hdrs[:, 1], CH)
-        dx = uu[:, 0]
+        dx = uu[:, 0] & 0x1FFF
         # dy stored +1: zero entries are padding (zero-page elision)
         dy = jnp.where(uu[:, 1] == 0, -(1 << 20), uu[:, 1] - 1)
         cidx = jnp.arange(CAPC * CH, dtype=I32) // CH
@@ -212,6 +227,46 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
     # ---- 4x4 class: group-staged scatter
     G = 4
 
+    if shared:
+        # ONE loop over G-chunk groups with a per-tile is_avg select.
+        # Packers align each stream's n_ref0 up to a G multiple (empty
+        # pad chunks), so within one stream a scatter group never mixes
+        # a ref0 tile with an avg tile reading the same destination —
+        # the avg read below always sees its ref0 prediction from an
+        # earlier group.
+        def group_m(g, F):
+            stage = jnp.zeros((G * CH, h, w), I32)
+            us = []
+            pls = []
+            cis = []
+            for j in range(G):
+                ci = g * G + j
+                u = jax.lax.dynamic_index_in_dim(mc_units, ci, 0, False)
+                hd = jax.lax.dynamic_index_in_dim(mc_hdrs, ci, 0, False)
+                out = _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd)
+                stage = jax.lax.dynamic_update_slice(stage, out,
+                                                     (j * CH, 0, 0))
+                us.append(u)
+                pls.append(jnp.full((CH,), hd[1], I32))
+                cis.append(jnp.full((CH,), ci, I32))
+            uu = jnp.concatenate(us)
+            plane = jnp.concatenate(pls)
+            cidx = jnp.concatenate(cis)
+            dx = uu[:, 0] & 0x1FFF
+            dy = jnp.where(uu[:, 1] == 0, -(1 << 20), uu[:, 1] - 1)
+            dy = jnp.where(cidx < n_chunks, dy, -(1 << 20))
+            rows_o = dy[:, None, None] \
+                + jnp.arange(h, dtype=I32)[None, :, None]
+            cols_o = dx[:, None, None] \
+                + jnp.arange(w, dtype=I32)[None, None, :]
+            cur = F[plane[:, None, None], rows_o, cols_o]
+            avg = (cur + stage + 1) >> 1
+            stage = jnp.where((cidx >= n_ref0)[:, None, None], avg, stage)
+            return F.at[plane[:, None, None], rows_o, cols_o].set(
+                stage, mode="drop")
+
+        return jax.lax.fori_loop(0, (trip + G - 1) // G, group_m, F)
+
     def group(base, limit, is_avg, F):
         stage = jnp.zeros((G * CH, h, w), I32)
         us = []
@@ -229,7 +284,7 @@ def _mc_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
         uu = jnp.concatenate(us)
         plane = jnp.concatenate(pls)
         vv = jnp.concatenate(valid)
-        dx = uu[:, 0]
+        dx = uu[:, 0] & 0x1FFF
         dy = jnp.where(uu[:, 1] == 0, -(1 << 20), uu[:, 1] - 1)
         dy = jnp.where(vv, dy, -(1 << 20))
         rows_o = dy[:, None, None] + jnp.arange(h, dtype=I32)[None, :, None]
@@ -404,7 +459,7 @@ def _intra_pass(F, R, chunks, chunk_bs, n_chunks, bd):
 def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                     layout, lossless: bool, bd: int = 8,
                     pages_tier: int = 0, jit_wrap: bool = True,
-                    pool_geom=None, ss=(1, 1)):
+                    pool_geom=None, ss=(1, 1), shared_trips: bool = False):
     """Build the jitted fused step for one frame geometry.
 
     step(pool, ring, kernels, flat_or_pages) -> (new_pool, new_ring)
@@ -424,6 +479,12 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
     The reference-pool refresh (refresh_frame_flags) and the page
     expansion happen in-step so a frame is exactly one dispatch and one
     H2D transfer (plus one batched D2H per RING frames).
+
+    shared_trips: the step takes a 5th argument `trips` (int32 [32],
+    misc-indexed) supplying every fori_loop trip count and the output
+    ring slot.  The batched multi-stream path vmaps the body with
+    trips UNBATCHED (the elementwise max over the round's streams), so
+    all loops keep shared trip counts under vmap — see _mc_pass.
     """
     from .pack import PAGE
     ssx, ssy = ss
@@ -432,7 +493,8 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
     pha, pwa = pool_geom if pool_geom is not None else (ha, wa)
     K = cdiv(layout.size, PAGE)
 
-    def step(pool, ring, kernels, flat):
+    def step(pool, ring, kernels, flat, trips=None):
+        assert (trips is not None) == shared_trips
         if pages_tier:
             # gather expansion: g[K] page map (0 = the shared zero page
             # at data row 0) -> one 1 KB-row gather rebuilds the layout
@@ -447,6 +509,9 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
             return a.astype(dtype)
 
         misc = seg("misc")
+        # trip counts: shared (unbatched round max) in batched mode,
+        # per-frame misc otherwise; data bounds always come from misc
+        tr = (lambda i: trips[i]) if shared_trips else (lambda i: misc[i])
         F = jnp.zeros((3, ha, wa), I32)
         R = jnp.zeros((3, ha, wa), I32)
         from .pack import COEFF_BUCKETS, COEFF_CHUNK, MISC_TRIP
@@ -488,37 +553,46 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                     cm = full.at[ci, idx].set(cm)
                 return _residual_pass(R, cm, pos, tx, lossless, bd)
 
-            R = jax.lax.fori_loop(0, misc[MISC_TRIP[name]], body, R)
+            R = jax.lax.fori_loop(0, tr(MISC_TRIP[name]), body, R)
         if "coeff_tx3c" in layout.segs:
-            # 32x32 coo bucket: 64 (raster_idx, value) pairs per unit
-            # (pack.COO_PAIRS); pad pairs are (0, 0) and redirect to an
-            # out-of-range index so they drop at the scatter instead of
-            # clobbering a real DC at index 0
-            from .pack import CHUNK_TX3C, MISC_TRIP_TX3C
-            c3_all = seg("coeff_tx3c", jnp.int16)
-            p3_all = seg("cpos_tx3c")
+            # 32x32 coo buckets: (raster_idx, value) pairs per unit
+            # (pack.COO_PAIRS / COO16_PAIRS); pad pairs are (0, 0) and
+            # redirect to an out-of-range index so they drop at the
+            # scatter instead of clobbering a real DC at index 0
+            from .pack import (CHUNK_TX3C, CHUNK_TX3CS, MISC_TRIP_TX3C,
+                               MISC_TRIP_TX3CS)
+            for segname, CH3, npairs, trip_slot in (
+                    ("coeff_tx3c", CHUNK_TX3C, 64, MISC_TRIP_TX3C),
+                    ("coeff_tx3cs", CHUNK_TX3CS, 16, MISC_TRIP_TX3CS)):
+                if segname not in layout.segs:
+                    continue
+                c3_all = seg(segname, jnp.int16)
+                p3_all = seg("cpos_" + segname[6:])
 
-            def body3(i, R):
-                cm = jax.lax.dynamic_slice(
-                    c3_all, (i * CHUNK_TX3C, 0), (CHUNK_TX3C, 128))
-                pos = jax.lax.dynamic_slice(
-                    p3_all, (i * CHUNK_TX3C, 0), (CHUNK_TX3C, 4))
-                idx = cm[:, 0::2].astype(I32)
-                val = cm[:, 1::2].astype(jnp.int16)
-                idx = jnp.where((idx == 0) & (val == 0), 1024, idx)
-                ci = jnp.arange(CHUNK_TX3C, dtype=I32)[:, None]
-                full = jnp.zeros((CHUNK_TX3C, 1024), cdt)
-                full = full.at[ci, idx].set(val.astype(cdt), mode="drop")
-                return _residual_pass(R, full, pos, 3, False, bd)
+                def body3(i, R, c3_all=c3_all, p3_all=p3_all, CH3=CH3,
+                          npairs=npairs):
+                    cm = jax.lax.dynamic_slice(
+                        c3_all, (i * CH3, 0), (CH3, 2 * npairs))
+                    pos = jax.lax.dynamic_slice(
+                        p3_all, (i * CH3, 0), (CH3, 4))
+                    idx = cm[:, 0::2].astype(I32)
+                    val = cm[:, 1::2].astype(jnp.int16)
+                    idx = jnp.where((idx == 0) & (val == 0), 1024, idx)
+                    ci = jnp.arange(CH3, dtype=I32)[:, None]
+                    full = jnp.zeros((CH3, 1024), cdt)
+                    full = full.at[ci, idx].set(val.astype(cdt),
+                                                mode="drop")
+                    return _residual_pass(R, full, pos, 3, False, bd)
 
-            R = jax.lax.fori_loop(0, misc[MISC_TRIP_TX3C], body3, R)
+                R = jax.lax.fori_loop(0, tr(trip_slot), body3, R)
         br = min(160, pha)
+        trip3 = (lambda i: tr(i)) if shared_trips else (lambda i: None)
         F = _mc_pass(F, pool, kernels, seg("mc4"), seg("mc4h"),
-                     misc[0], misc[23], 4, 4, br, bd)
+                     misc[0], misc[23], 4, 4, br, bd, trip=trip3(0))
         F = _mc_pass(F, pool, kernels, seg("mc8"), seg("mc8h"),
-                     misc[1], misc[24], 8, 8, br, bd)
+                     misc[1], misc[24], 8, 8, br, bd, trip=trip3(1))
         F = _mc_pass(F, pool, kernels, seg("mc16"), seg("mc16h"),
-                     misc[2], misc[25], 16, 16, br, bd)
+                     misc[2], misc[25], 16, 16, br, bd, trip=trip3(2))
         if "mcs" in layout.segs:
             # scaled-reference tiles (runs LAST: compound averages with
             # a scaled first reference see their ref0 prediction)
@@ -538,12 +612,12 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         mask = mask.at[1, :mi_rows * chh_, :mi_cols * chw_].set(c4)
         mask = mask.at[2, :mi_rows * chh_, :mi_cols * chw_].set(c4)
         F = jnp.where(mask, jnp.clip(F + R, 0, (1 << bd) - 1), F)
-        F = _intra_pass(F, R, seg("intra"), seg("chunk_bs"), misc[3], bd)
+        F = _intra_pass(F, R, seg("intra"), seg("chunk_bs"), tr(3), bd)
         # loop filter (pallas kernel; interpret under the CPU backend)
         from ..ops.pallas.loopfilter import lf_frame
         interp = jax.default_backend() == "cpu"
         if ss == (1, 1):
-            F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
+            F = lf_frame(F, seg("lfm", jnp.int16), seg("lf_thr", jnp.int16), misc[4],
                          mi_rows=mi_rows, mi_cols=mi_cols, bd=bd,
                          interpret=interp)
         elif ss == (0, 0):
@@ -561,13 +635,13 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
             hcc, wcc = ha >> ssy, wa >> ssx
             lfmc = seg("lfm_c", jnp.int16)
             Fc = (F[1], F[2])
-            F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
+            F = lf_frame(F, seg("lfm", jnp.int16), seg("lf_thr", jnp.int16), misc[4],
                          mi_rows=mi_rows, mi_cols=mi_cols, bd=bd,
                          interpret=interp)
             for pch in (1, 2):
                 Cp = jnp.zeros((3, hac, wac), I32)
                 Cp = Cp.at[0, :hcc, :wcc].set(Fc[pch - 1][:hcc, :wcc])
-                Cp = lf_frame(Cp, lfmc, misc[4], mi_rows=rc, mi_cols=cc,
+                Cp = lf_frame(Cp, lfmc, seg("lf_thr", jnp.int16), misc[4], mi_rows=rc, mi_cols=cc,
                               bd=bd, interpret=interp)
                 F = F.at[pch, :hcc, :wcc].set(Cp[0, :hcc, :wcc])
         else:
@@ -578,7 +652,7 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
             from ..ops.device.lf_wave import lf_plane_tiles
             wcc = wa >> ssx
             Fc = (F[1], F[2])
-            F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
+            F = lf_frame(F, seg("lfm", jnp.int16), seg("lf_thr", jnp.int16), misc[4],
                          mi_rows=mi_rows, mi_cols=mi_cols, bd=bd,
                          interpret=interp)
             lfw = [seg(nm) for nm in ("lfw_v", "lfw_h", "lfw_mb",
@@ -609,8 +683,11 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
         # dynamic_update keeps the donated ring in place; a one-hot
         # where() was tried for the batched path and measured ~2x WORSE
         # there (it materializes the whole [N, RING, nout] ring per
-        # round instead of updating one row)
-        ring = jax.lax.dynamic_update_index_in_dim(ring, out, misc[13], 0)
+        # round instead of updating one row).  In shared-trips mode the
+        # slot comes from the UNBATCHED trips vector (all streams of a
+        # round share one slot), so under vmap this stays a
+        # dynamic_update_slice instead of lowering to a scatter.
+        ring = jax.lax.dynamic_update_index_in_dim(ring, out, tr(13), 0)
         return pool, ring
 
     if not jit_wrap:
@@ -653,8 +730,11 @@ def get_batched_step(n_streams: int, mi_rows: int, mi_cols: int,
         caps["intra_chunk"] = pack.CHUNK_INTRA
         layout = pack.build_layout(caps, mi_rows, mi_cols, lossless, bd)
         body = make_frame_step(mi_rows, mi_cols, caps, layout, lossless,
-                               bd, pages_tier, jit_wrap=False)
-        vstep = jax.vmap(body, in_axes=(0, 0, None, 0))
+                               bd, pages_tier, jit_wrap=False,
+                               shared_trips=True)
+        # trips (the round-max trip counts) ride UNBATCHED so every
+        # fori_loop keeps a shared trip under vmap (see _mc_pass)
+        vstep = jax.vmap(body, in_axes=(0, 0, None, 0, None))
         if mesh is None:
             step = jax.jit(vstep, donate_argnums=(0, 1))
         else:
@@ -662,7 +742,7 @@ def get_batched_step(n_streams: int, mi_rows: int, mi_cols: int,
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
             step = jax.jit(vstep, donate_argnums=(0, 1),
-                           in_shardings=(data, data, repl, data),
+                           in_shardings=(data, data, repl, data, repl),
                            out_shardings=(data, data))
         _BATCH_CACHE[key] = (step, caps, layout)
     return _BATCH_CACHE[key]

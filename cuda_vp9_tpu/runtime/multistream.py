@@ -431,6 +431,16 @@ class BatchedFusedDecoder:
                 flats.append(self._remap_wide(f[0]))
             else:
                 flats.append(f[0])
+        # shared trip counts: elementwise max of every stream's misc.
+        # Passed UNBATCHED to the vmapped step so all fori_loops keep a
+        # shared trip (per-stream trips lower to predicated while_loops
+        # that select over the whole batched carry every iteration —
+        # measured ~20x the cost of N sequential steps).  Trip slots
+        # max correctly; slot 13 (ring slot) is round-constant; the
+        # data-boundary slots (0-3 counts, 23-25 n_ref0) are read
+        # per-stream from misc inside the step, never from trips.
+        trips = np.maximum.reduce(
+            [np.asarray(layout.view(f, "misc"), np.int32) for f in flats])
         self._tw["remap"] += _time.time() - _t0
         _t0 = _time.time()
         # shared page tier: smallest that fits every stream's frame
@@ -466,7 +476,8 @@ class BatchedFusedDecoder:
         self._tw["stack"] += _time.time() - _t0
         _t0 = _time.time()
         self._pool, self._ring = step(self._pool, self._ring,
-                                      self.kernels, payload_d)
+                                      self.kernels, payload_d,
+                                      jnp.asarray(trips))
         self._tw["dispatch"] += _time.time() - _t0
         if not self.defer_output:
             self._unfetched.append(

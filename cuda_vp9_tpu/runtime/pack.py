@@ -36,6 +36,21 @@ CHUNK_MC16 = 64
 CHUNK_MCS = 128   # scaled-reference 4x4 tiles (16-wide records)
 
 
+def mc_chunks(mi_rows: int, mi_cols: int):
+    """Per-geometry MC chunk lengths (mc4, mc8, mc16).
+
+    The fused step's MC cost at HD/4K is dominated by the NUMBER of
+    sequential fori_loop iterations (each pays a small-kernel floor), not
+    by FLOPs: a typical 1080p frame has ~12k 16x16 tiles = ~190 chunks
+    of 64.  HD+ geometries use 4x larger chunks — same total work in a
+    quarter of the iterations, and the per-chunk matmuls get 4x larger
+    (better MXU occupancy).  Partial-chunk padding stays cheap: zero
+    pages are elided from the upload."""
+    if mi_rows * mi_cols * 64 >= 1.9e6:     # >= ~1080p pixel count
+        return CHUNK_MC4 * 4, CHUNK_MC8 * 4, CHUNK_MC16 * 4
+    return CHUNK_MC4, CHUNK_MC8, CHUNK_MC16
+
+
 def band_params(ha):
     """Row-band geometry for the banded MC kernel: each MC chunk reads
     one [BR, wa] band of one (slot, plane) canvas (see fused._mc_chunk)."""
@@ -68,7 +83,7 @@ def cdiv(a, b):
 # ~4x, and the host->device link is the decode bottleneck.
 COEFF_BUCKETS = (
     ("tx0s", 0, 4), ("tx0", 0, 16),
-    ("tx1s", 1, 8), ("tx1", 1, 64),
+    ("tx1s", 1, 8), ("tx1m", 1, 24), ("tx1", 1, 64),
     ("tx2xs", 2, 16), ("tx2s", 2, 64), ("tx2d", 2, 256),
     ("tx3xs", 3, 16), ("tx3s", 3, 64), ("tx3m", 3, 256), ("tx3d", 3, 1024),
 )
@@ -78,25 +93,32 @@ COEFF_BUCKETS = (
 # (misc[MISC_TRIP[name]]), so per-frame transform cost tracks actual
 # content instead of the bucket capacity.  Caps round up to a chunk
 # multiple.
-COEFF_CHUNK = {"tx0s": 1024, "tx0": 1024, "tx1s": 256, "tx1": 256,
-               "tx2xs": 128, "tx2s": 128, "tx2d": 64,
-               "tx3xs": 64, "tx3s": 64, "tx3m": 32, "tx3d": 16}
+COEFF_CHUNK = {"tx0s": 1024, "tx0": 1024, "tx1s": 256, "tx1m": 256,
+               "tx1": 256, "tx2xs": 128, "tx2s": 128, "tx2d": 64,
+               "tx3xs": 128, "tx3s": 64, "tx3m": 32, "tx3d": 16}
 
 # misc[] slot carrying each bucket's residual-loop trip count (16..22
 # are the original seven; 23-25 hold the mc n_ref0 counts, so the
 # sub-buckets take 26..29)
 MISC_TRIP = {"tx0": 16, "tx1": 17, "tx2s": 18, "tx2d": 19,
              "tx3s": 20, "tx3m": 21, "tx3d": 22,
-             "tx0s": 26, "tx1s": 27, "tx2xs": 28, "tx3xs": 29}
+             "tx0s": 26, "tx1s": 27, "tx2xs": 28, "tx3xs": 29,
+             "tx1m": 32}
 
-# 32x32 coo bucket: units whose eob exceeds the prefix buckets but with
+# 32x32 coo buckets: units whose eob exceeds the prefix buckets but with
 # few NONZERO coefficients (high-eob 32x32 units are overwhelmingly
-# sparse inside) ship as 64 interleaved (raster_idx, value) pairs
-# instead of a 1024-coefficient row — 256 bytes vs 2 KB.  8-bit only
-# (highbd values exceed int16; tx3m/tx3d absorb those as before).
+# sparse inside) ship as interleaved (raster_idx, value) pairs instead
+# of a coefficient row.  Two granularities: tx3cs takes any eob > 16
+# with <= 16 nonzeros (64 B vs the 128 B tx3s prefix row — measured the
+# single largest 1080p upload segment), tx3c takes eob > 64 with <= 64
+# nonzeros (256 B vs the 2 KB tx3d row).  8-bit only (highbd values
+# exceed int16; tx3s/tx3m/tx3d absorb those as before).
 COO_PAIRS = 64
 CHUNK_TX3C = 16
 MISC_TRIP_TX3C = 30
+COO16_PAIRS = 16
+CHUNK_TX3CS = 64
+MISC_TRIP_TX3CS = 31
 
 last_overflow = None  # (segment, needed, cap) of the most recent fallback
 
@@ -136,6 +158,7 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         caps["tx0s"] = worst[0]
         caps["tx0"] = worst[0]
         caps["tx1s"] = max(64, worst[1] >> 1)
+        caps["tx1m"] = max(64, worst[1] >> 1)
         caps["tx1"] = worst[1]
         caps["tx2xs"] = max(8, worst[2] >> 3)
         caps["tx2s"] = max(8, worst[2] >> 3)
@@ -145,10 +168,15 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         caps["tx3m"] = max(8, worst[3] >> 2)
         caps["tx3d"] = worst[3]
         caps["tx3c"] = max(16, worst[3] >> 2)
+        caps["tx3cs"] = max(16, worst[3] >> 1)
         caps["mc4"] = caps["mc8"] = caps["mc16"] = 1
         max_waves = w4 + h4 + 2
-        caps["intra_chunk"] = CHUNK_INTRA
-        caps["intra"] = cdiv(total44, CHUNK_INTRA) + 4 * max_waves
+        # HD+ keyframes: 4x larger intra chunks (the wavefront loop's
+        # iteration count, not its FLOPs, bounds keyframe step time)
+        ich = CHUNK_INTRA * 4 if mi_rows * mi_cols * 64 >= 1.9e6 \
+            else CHUNK_INTRA
+        caps["intra_chunk"] = ich
+        caps["intra"] = cdiv(total44, ich) + 4 * max_waves
     else:
         m4_worst = (cells + 2 * ccells) * 2
         m8_worst = (cells // 4 + 2 * (ccells // 4)) * 2
@@ -160,6 +188,8 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         ha = ((mi_rows + 7) & ~7) * 8
         br, stride = band_params(ha)
         groups = 2 * 3 * 3 * ((ha - 1) // stride + 1)  # avg x slot x plane
+        c4, c8, c16 = mc_chunks(mi_rows, mi_cols)
+        caps["mc_chunk"] = (c4, c8, c16)
         if tier == "wide":
             # escalation tier for frames that overflow "tight": 3x the
             # typical-case budget, bounded by the worst case.  Full
@@ -171,6 +201,7 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["tx0s"] = min(worst[0], max(64, worst[0] * 9 // 8))
             caps["tx0"] = min(worst[0], max(64, worst[0] * 9 // 8))
             caps["tx1s"] = min(worst[1], max(64, worst[1] * 3 // 2))
+            caps["tx1m"] = min(worst[1], max(64, worst[1] * 3 // 2))
             caps["tx1"] = min(worst[1], max(64, worst[1] * 3 // 2))
             caps["tx2xs"] = min(worst[2], max(64, worst[2] * 3 // 2))
             caps["tx2s"] = min(worst[2], max(64, worst[2] * 3 // 2))
@@ -180,15 +211,19 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["tx3m"] = min(worst[3], max(8, worst[3] * 3 // 4))
             caps["tx3d"] = min(worst[3], max(16, worst[3] * 3 // 4))
             caps["tx3c"] = min(worst[3], max(16, worst[3] * 3 // 4))
-            caps["mc4"] = max(1, cdiv(m4_worst * 3 // 4, CHUNK_MC4) + groups)
-            caps["mc8"] = max(1, cdiv(m8_worst * 3 // 4, CHUNK_MC8) + groups)
-            caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
-            caps["intra_chunk"] = CHUNK_INTRA
-            caps["intra"] = cdiv(total44 * 3 // 4, CHUNK_INTRA) + 256
+            caps["tx3cs"] = worst[3]
+            caps["mc4"] = max(1, cdiv(m4_worst * 3 // 4, c4) + groups)
+            caps["mc8"] = max(1, cdiv(m8_worst * 3 // 4, c8) + groups)
+            caps["mc16"] = max(1, cdiv(m16_worst, c16) + groups)
+            ich = CHUNK_INTRA * 4 if mi_rows * mi_cols * 64 >= 1.9e6 \
+                else CHUNK_INTRA
+            caps["intra_chunk"] = ich
+            caps["intra"] = cdiv(total44 * 3 // 4, ich) + 256
         else:
             caps["tx0s"] = max(64, worst[0] * 3 // 8)
             caps["tx0"] = worst[0] if lossless else max(64, worst[0] * 3 // 8)
             caps["tx1s"] = max(64, worst[1] >> 1)
+            caps["tx1m"] = max(64, worst[1] >> 1)
             caps["tx1"] = max(64, worst[1] >> 1)
             caps["tx2xs"] = max(64, worst[2] >> 1)
             caps["tx2s"] = max(64, worst[2] >> 1)
@@ -198,20 +233,27 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["tx3m"] = max(8, worst[3] >> 2)
             caps["tx3d"] = max(16, worst[3] >> 2)
             caps["tx3c"] = max(16, worst[3] >> 2)
-            caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, CHUNK_MC4) + groups)
-            caps["mc8"] = max(1, cdiv(m8_worst // 2, CHUNK_MC8) + groups)
-            caps["mc16"] = max(1, cdiv(m16_worst, CHUNK_MC16) + groups)
+            caps["tx3cs"] = max(16, worst[3] * 3 // 4)
+            caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, c4) + groups)
+            caps["mc8"] = max(1, cdiv(m8_worst // 2, c8) + groups)
+            caps["mc16"] = max(1, cdiv(m16_worst, c16) + groups)
             # inter frames carry few intra blocks scattered across
             # many (wave, size-class) chunk boundaries: a 16-unit chunk
             # cuts the partial-chunk upload waste ~4x (keyframes use
-            # the full/wide tiers and keep the 64-wide chunks)
-            caps["intra_chunk"] = 16
-            caps["intra"] = cdiv(total44 // 4, 16) + 128
+            # the full/wide tiers and keep the wider chunks).  HD+ uses
+            # 64: there the intra pass is iteration-count-bound
+            # (~140 us/chunk floor, measured at 1080p) and the intra
+            # segment is a tiny upload share.
+            ich = 64 if mi_rows * mi_cols * 64 >= 1.9e6 else 16
+            caps["intra_chunk"] = ich
+            caps["intra"] = cdiv(total44 // 4, ich) + 128
     for name, ch in COEFF_CHUNK.items():
         if name in caps:
             caps[name] = cdiv(caps[name], ch) * ch
     if "tx3c" in caps:
         caps["tx3c"] = cdiv(caps["tx3c"], CHUNK_TX3C) * CHUNK_TX3C
+    if "tx3cs" in caps:
+        caps["tx3cs"] = cdiv(caps["tx3cs"], CHUNK_TX3CS) * CHUNK_TX3CS
     return caps
 
 
@@ -249,13 +291,16 @@ def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8,
         # interleaved (raster_idx, value) pairs; see COO_PAIRS above
         L.add("coeff_tx3c", (caps["tx3c"], 2 * COO_PAIRS))
         L.add("cpos_tx3c", (caps["tx3c"], 4))
-    # MC tile wire rows are 6 int16: (dx, dy+1, sr, sc, filt, pad) with
-    # sr/sc = ((src - dst) << 4) | subpel_q4; everything chunk-constant
-    # (slot, plane, srow band, ref crop dims) lives in the 8-wide chunk
-    # header instead — halves the MC upload bytes
-    L.add("mc4", (caps["mc4"], CHUNK_MC4, 6))
-    L.add("mc8", (caps["mc8"], CHUNK_MC8, 6))
-    L.add("mc16", (caps["mc16"], CHUNK_MC16, 6))
+        L.add("coeff_tx3cs", (caps["tx3cs"], 2 * COO16_PAIRS))
+        L.add("cpos_tx3cs", (caps["tx3cs"], 4))
+    # MC tile wire rows are 4 int16: (dx | filt<<13, dy+1, sr, sc) with
+    # sr/sc = ((src - dst) << 4) | subpel_q4 and dx < 2^13; everything
+    # chunk-constant (slot, plane, srow band, ref crop dims) lives in
+    # the 8-wide chunk header instead — a tile is 8 wire bytes
+    c4, c8, c16 = caps.get("mc_chunk", (CHUNK_MC4, CHUNK_MC8, CHUNK_MC16))
+    L.add("mc4", (caps["mc4"], c4, 4))
+    L.add("mc8", (caps["mc8"], c8, 4))
+    L.add("mc16", (caps["mc16"], c16, 4))
     L.add("mc4h", (caps["mc4"], 8))
     L.add("mc8h", (caps["mc8"], 8))
     L.add("mc16h", (caps["mc16"], 8))
@@ -276,14 +321,15 @@ def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8,
     from ..ops.pallas.loopfilter import K as LF_K
     sb_rows, sb_cols = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
     n_sbs_pad = cdiv(sb_rows, LF_K) * LF_K * sb_cols
-    L.add("lfm", (n_sbs_pad, 8, 128))
+    L.add("lfm", (n_sbs_pad, 2, 128))
+    L.add("lf_thr", (64, 4))
     if ss == (0, 0):
         # 4:4:4 chroma deblocks through the kernel's LUMA path on the
         # chroma plane's own geometry (fused.make_frame_step); this is
         # its mask tensor, luma-format, chroma cell grid
         rc, cc = cdiv(mi_rows, 1 << ss[1]), cdiv(mi_cols, 1 << ss[0])
         sbr_c, sbc_c = cdiv(rc, 8), cdiv(cc, 8)
-        L.add("lfm_c", (cdiv(sbr_c, LF_K) * LF_K * sbc_c, 8, 128))
+        L.add("lfm_c", (cdiv(sbr_c, LF_K) * LF_K * sbc_c, 2, 128))
     elif ss != (1, 1):
         # 4:2:2 chroma: VP9 deblocks it in 32-px-wide slices per LUMA
         # superblock, an order the 64-px kernel cannot express — the
@@ -294,7 +340,7 @@ def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8,
         cr, ccc = ha_ // 8, (wa_ >> ss[0]) // 8
         for nm in ("lfw_v", "lfw_h", "lfw_mb", "lfw_lm", "lfw_hv"):
             L.add(nm, (cr, ccc))
-    L.add("misc", (32,))
+    L.add("misc", (48,))
     return L
 
 
@@ -364,31 +410,46 @@ def _pack_coeffs(plan, caps, layout, buf, lossless, bd=8):
 
     assigned = np.zeros(len(A["tx"]), bool)
     n_coo = 0
+    n_coo_s = 0
     if "coeff_tx3c" in layout.segs:
-        # coo pre-pass: high-eob 32x32 units with few nonzero coeffs
-        # ship as (raster_idx, value) pairs (bucket doc at COO_PAIRS)
+        # coo pre-pass: 32x32 units past the tx3xs prefix with few
+        # nonzero coeffs ship as (raster_idx, value) pairs — tx3cs (16
+        # pairs) for nnz <= 16, tx3c (64 pairs) for high-eob nnz <= 64
+        # (bucket doc at COO_PAIRS)
         cm3 = layout.view(buf, "coeff_tx3c")
         pm3 = layout.view(buf, "cpos_tx3c")
         cap3 = caps["tx3c"]
-        cand = np.nonzero((A["tx"] == 3) & (A["eob"] > 64))[0]
+        cms = layout.view(buf, "coeff_tx3cs")
+        pms = layout.view(buf, "cpos_tx3cs")
+        caps_s = caps["tx3cs"]
+        cand = np.nonzero((A["tx"] == 3) & (A["eob"] > 16))[0]
         for i in cand:
-            if n_coo >= cap3:
+            if n_coo >= cap3 and n_coo_s >= caps_s:
                 break
             vals = srcs[A["plane"][i]][A["off"][i]:A["off"][i] + 1024]
             nz = np.flatnonzero(vals)
-            if len(nz) > COO_PAIRS:
-                continue
             v = vals[nz]
             if np.abs(v).max(initial=0) > 32767:
                 continue  # range overflow: dense buckets handle it
-            cm3[n_coo, 0:2 * len(nz):2] = nz
-            cm3[n_coo, 1:2 * len(nz):2] = v
-            pm3[n_coo, 0] = A["plane"][i]
-            pm3[n_coo, 1] = A["y"][i] * 4 + 1
-            pm3[n_coo, 2] = A["x"][i] * 4
-            pm3[n_coo, 3] = 0  # tx3 is always DCT
-            assigned[i] = True
-            n_coo += 1
+            if len(nz) <= COO16_PAIRS and n_coo_s < caps_s:
+                cms[n_coo_s, 0:2 * len(nz):2] = nz
+                cms[n_coo_s, 1:2 * len(nz):2] = v
+                pms[n_coo_s, 0] = A["plane"][i]
+                pms[n_coo_s, 1] = A["y"][i] * 4 + 1
+                pms[n_coo_s, 2] = A["x"][i] * 4
+                pms[n_coo_s, 3] = 0
+                assigned[i] = True
+                n_coo_s += 1
+            elif A["eob"][i] > 64 and len(nz) <= COO_PAIRS \
+                    and n_coo < cap3:
+                cm3[n_coo, 0:2 * len(nz):2] = nz
+                cm3[n_coo, 1:2 * len(nz):2] = v
+                pm3[n_coo, 0] = A["plane"][i]
+                pm3[n_coo, 1] = A["y"][i] * 4 + 1
+                pm3[n_coo, 2] = A["x"][i] * 4
+                pm3[n_coo, 3] = 0  # tx3 is always DCT
+                assigned[i] = True
+                n_coo += 1
     counts = []
     for name, t, ncoef in COEFF_BUCKETS:
         if lossless and name != "tx0":
@@ -444,7 +505,8 @@ def _pack_coeffs(plan, caps, layout, buf, lossless, bd=8):
     if not assigned.all():
         _note_overflow("coeff_unassigned", int((~assigned).sum()), 0)
         return None
-    counts.append(n_coo)  # coo bucket count rides last
+    counts.append(n_coo)    # coo bucket counts ride last
+    counts.append(n_coo_s)
     return counts
 
 
@@ -777,8 +839,8 @@ def _pack_mc(plan, refs, caps, layout, buf, pool_ha=None):
     br, stride = band_params(ha)
     nums = []
     nums_ref0 = []
-    classes = [(4, CHUNK_MC4, "mc4"), (8, CHUNK_MC8, "mc8"),
-               (16, CHUNK_MC16, "mc16")]
+    c4, c8, c16 = caps.get("mc_chunk", (CHUNK_MC4, CHUNK_MC8, CHUNK_MC16))
+    classes = [(4, c4, "mc4"), (8, c8, "mc8"), (16, c16, "mc16")]
     if "mcs" in layout.segs:
         classes.append(("s", CHUNK_MCS, "mcs"))
     for ts, chunk, name in classes:
@@ -805,7 +867,17 @@ def _pack_mc(plan, refs, caps, layout, buf, pool_ha=None):
         ci = 0
         c0 = 0
         ok = True
+        aligned = False
         for s, e in zip(starts, ends):
+            if ts == 4 and not aligned and tl[s, 11] == 1:
+                # align the 4x4 class's ref0/avg boundary to a group-of-4
+                # multiple (empty pad chunks): the fused step's masked
+                # single-loop landing (shared-trip/batched mode) then
+                # never mixes a ref0 tile and an avg tile of the same
+                # stream in one scatter group (fused._mc_pass)
+                ci = (ci + 3) & ~3
+                c0 = ci
+                aligned = True
             for k0 in range(s, e, chunk):
                 if ci >= arr.shape[0]:
                     ok = False
@@ -814,15 +886,14 @@ def _pack_mc(plan, refs, caps, layout, buf, pool_ha=None):
                 if ts == "s":
                     arr[ci, :len(part)] = part
                 else:
-                    # wire projection: (dx, dy+1, sr, sc, filt, 0)
+                    # wire projection: (dx | filt<<13, dy+1, sr, sc)
                     wp = arr[ci, :len(part)]
-                    wp[:, 0] = part[:, 1]
+                    wp[:, 0] = part[:, 1] | (part[:, 8] << 13)
                     wp[:, 1] = part[:, 2]
                     wp[:, 2] = ((part[:, 5] - (part[:, 2] - 1)) << 4) \
                         | part[:, 7]
                     wp[:, 3] = ((part[:, 4] - part[:, 1]) << 4) \
                         | part[:, 6]
-                    wp[:, 4] = part[:, 8]
                 hdrarr[ci, 0] = tl[s, 3]
                 hdrarr[ci, 1] = tl[s, 0]
                 hdrarr[ci, 2] = srow[s]
@@ -912,13 +983,14 @@ def _pack_lf(plan, caps, layout, buf):
     if not hdr.lf.filter_level:
         return 0
     from ..ops.ref.loopfilter import make_thresholds
-    from ..ops.pallas.loopfilter import pack_lfm_fields
+    from ..ops.pallas.loopfilter import pack_lf_thresholds, pack_lfm_fields
     (lvl_y, vy, hy), (lvl_uv, vuv, huv) = lfmeta.build_lf_metadata(
         plan.mi, plan.seg_map, hdr)
     thr = make_thresholds(hdr.lf.sharpness_level)
+    layout.view(buf, "lf_thr")[:] = pack_lf_thresholds(thr)
     if "lfm_c" not in layout.segs and "lfw_v" not in layout.segs:
         layout.view(buf, "lfm")[:] = pack_lfm_fields(
-            lvl_y, vy, hy, lvl_uv, vuv, huv, thr,
+            lvl_y, vy, hy, lvl_uv, vuv, huv,
             hdr.mi_rows, hdr.mi_cols)
         return 1
     # non-4:2:0: luma through the normal kernel (chroma fields zeroed)
@@ -926,13 +998,13 @@ def _pack_lf(plan, caps, layout, buf):
     zb = np.zeros((1, 1), bool)
     zm = (zb, zb, zb, zb)
     layout.view(buf, "lfm")[:] = pack_lfm_fields(
-        lvl_y, vy, hy, z1, zm, zm, thr, hdr.mi_rows, hdr.mi_cols)
+        lvl_y, vy, hy, z1, zm, zm, hdr.mi_rows, hdr.mi_cols)
     if "lfm_c" in layout.segs:
         # 4:4:4: chroma masks in luma format at the chroma cell grid
         rc = cdiv(hdr.mi_rows, 1 << hdr.subsampling_y)
         cc = cdiv(hdr.mi_cols, 1 << hdr.subsampling_x)
         layout.view(buf, "lfm_c")[:] = pack_lfm_fields(
-            lvl_uv, vuv, huv, z1, zm, zm, thr, rc, cc)
+            lvl_uv, vuv, huv, z1, zm, zm, rc, cc)
         return 1
     # 4:2:2: per-cell mask bitfields + thresholds for the sequential
     # tile path (ops/device/lf_wave.py)
@@ -998,6 +1070,8 @@ def pack_frame(plan, refs, caps, layout, pool_ha=None):
     for b, (name, _, _) in enumerate(COEFF_BUCKETS):
         misc[MISC_TRIP[name]] = cdiv(ncoeff[b], COEFF_CHUNK[name])
     misc[MISC_TRIP_TX3C] = cdiv(ncoeff[len(COEFF_BUCKETS)], CHUNK_TX3C)
+    misc[MISC_TRIP_TX3CS] = cdiv(ncoeff[len(COEFF_BUCKETS) + 1],
+                                 CHUNK_TX3CS)
     # misc[23..25]: first compound-average chunk per MC class (chunks
     # before it are unique-destination first-reference predictions)
     for i in range(3):

@@ -124,10 +124,11 @@ def test_pallas_lf_matches_oracle(sbr, sbc, bd, seed):
     _ref_filter(planes, (lvl_y, vy, hy), (lvl_uv, vuv, huv), thr, bd)
 
     # kernel (interpret mode on CPU)
-    lfm = plf.pack_lfm_fields(lvl_y, vy, hy, lvl_uv, vuv, huv, thr,
+    lfm = plf.pack_lfm_fields(lvl_y, vy, hy, lvl_uv, vuv, huv,
                               mi_rows, mi_cols)
+    thr_t = plf.pack_lf_thresholds(thr)
     out = np.asarray(plf.lf_frame(
-        jnp.asarray(F), jnp.asarray(lfm), jnp.int32(1),
+        jnp.asarray(F), jnp.asarray(lfm), jnp.asarray(thr_t), jnp.int32(1),
         mi_rows=mi_rows, mi_cols=mi_cols, bd=bd, interpret=True))
 
     assert np.array_equal(out[0], planes[0]), "luma mismatch"
@@ -138,9 +139,10 @@ def test_pallas_lf_matches_oracle(sbr, sbc, bd, seed):
 def test_pallas_lf_off_is_identity():
     rng = np.random.default_rng(7)
     F = rng.integers(0, 256, (3, 64, 128)).astype(np.int32)
-    lfm = np.zeros((plf.K * 2, 8, 128), np.int16)
+    lfm = np.zeros((plf.K * 2, 2, 128), np.int16)
+    thr_t = np.zeros((64, 4), np.int16)
     out = np.asarray(plf.lf_frame(
-        jnp.asarray(F), jnp.asarray(lfm), jnp.int32(0),
+        jnp.asarray(F), jnp.asarray(lfm), jnp.asarray(thr_t), jnp.int32(0),
         mi_rows=8, mi_cols=16, bd=8, interpret=True))
     assert np.array_equal(out[0], F[0])
     assert np.array_equal(out[1, :32, :64], F[1, :32, :64])

@@ -57,7 +57,8 @@ def run(tag, mods):
     print(f"{tag}: min {1e3*min(ts):.1f} ms", flush=True)
 
 print("misc:", list(layout.view(flat0, "misc")))
-NORES = {k: 0 for k in range(16, 23)}
+# residual trips: 16-22 dense buckets, 26-29 sparse, 30/31 coo, 32 tx1m
+NORES = {k: 0 for k in [*range(16, 23), *range(26, 33)]}
 run("full", {})
 run("no-lf", {4: 0})
 run("no-intra", {3: 0})

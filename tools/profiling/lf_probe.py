@@ -15,11 +15,12 @@ sb_rows, sb_cols = cdiv(mi_rows, 8), cdiv(mi_cols, 8)
 n_sbs_pad = cdiv(sb_rows, K) * K * sb_cols
 rng = np.random.default_rng(0)
 F = jnp.asarray(rng.integers(0, 255, (3, ha, wa)).astype(np.int32))
-lfm = jnp.asarray(rng.integers(0, 4, (n_sbs_pad, 8, 128)).astype(np.int16))
+lfm = jnp.asarray(rng.integers(0, 4, (n_sbs_pad, 2, 128)).astype(np.int16))
+thr = jnp.asarray(np.ones((64, 4), np.int16))
 
 for lf_on in (0, 1):
     f = jax.jit(lambda F, lfm, n=lf_on: lf_frame(
-        F, lfm, jnp.int32(n), mi_rows=mi_rows, mi_cols=mi_cols))
+        F, lfm, thr, jnp.int32(n), mi_rows=mi_rows, mi_cols=mi_cols))
     out = f(F, lfm); out.block_until_ready()
     ts = []
     for _ in range(8):

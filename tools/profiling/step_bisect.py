@@ -63,7 +63,7 @@ def build(with_resid, with_mc, with_intra, with_lf, with_tail):
                                   misc[3], 8)
         if with_lf:
             from cuda_vp9_tpu.ops.pallas.loopfilter import lf_frame
-            F = lf_frame(F, seg("lfm", jnp.int16), misc[4],
+            F = lf_frame(F, seg("lfm", jnp.int16), seg("lf_thr", jnp.int16), misc[4],
                          mi_rows=mi_rows, mi_cols=mi_cols, bd=8,
                          interpret=jax.default_backend() == "cpu")
         if with_tail:
