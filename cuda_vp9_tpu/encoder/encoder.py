@@ -1,6 +1,7 @@
-"""VP9 encoder: fixed-QP bitstream writer (keyframes + ZEROMV inter).
+"""VP9 encoder: normative bitstream writer with motion search, rate
+control, segmentation, two-pass, SVC and high-bit-depth support.
 
-Slice of the reference's vp9/encoder/ (SURVEY S19 — vp9_encoder.c,
+Counterpart of the reference's vp9/encoder/ (SURVEY S19 — vp9_encoder.c,
 vp9_bitstream.c `write_uncompressed_header`/`write_compressed_header`/
 `pack_mb_tokens`, vp9_cx_iface.c).  TPU-framework counterpart design:
 
@@ -8,11 +9,14 @@ vp9_bitstream.c `write_uncompressed_header`/`write_compressed_header`/
   error_resilient_mode=1, so no backward adaptation and no
   frame-context bookkeeping is needed;
 - with gop > 1, non-key frames are single-reference (LAST) inter
-  frames: per block either a ZEROMV prediction from the previous
-  reconstructed frame (skip when the residual quantizes away) or an
-  intra fallback, chosen by SAD — the static-content case the
-  reference's rate control exploits hardest, at a fraction of the
-  bitrate of all-intra;
+  frames: per block ZEROMV or a NEWMV found by diamond + subpel
+  refinement (encoder/motion.py), with an intra fallback (full
+  10-mode search) chosen by SAD; skip when the residual quantizes
+  away;
+- 1-pass and 2-pass rate control (first-pass stats drive per-frame bit
+  allocation and scene-cut keyframes), segmentation (per-segment
+  quantizers: ROI maps + variance AQ), lossless mode, 10/12-bit
+  (profile 2), and spatial+temporal SVC (encoder/svc.py);
 - a fixed partition grid (default 16x16 blocks, forced splits at frame
   edges) with per-block intra mode search over DC/V/H/TM by SAD;
 - forward transforms derived from the repo's own normative inverse

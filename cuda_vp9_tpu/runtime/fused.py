@@ -738,9 +738,8 @@ def get_batched_step(n_streams: int, mi_rows: int, mi_cols: int,
         if mesh is None:
             step = jax.jit(vstep, donate_argnums=(0, 1))
         else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            data = NamedSharding(mesh, P("data"))
-            repl = NamedSharding(mesh, P())
+            from ..parallel import stream_sharding
+            data, repl = stream_sharding(mesh)
             step = jax.jit(vstep, donate_argnums=(0, 1),
                            in_shardings=(data, data, repl, data, repl),
                            out_shardings=(data, data))

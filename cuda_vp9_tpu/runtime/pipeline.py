@@ -201,6 +201,12 @@ class TpuReconFused:
         self._d2h_pool = _cf.ThreadPoolExecutor(max_workers=1)
         self.frames_on_device = 0
         self.frames_on_host = 0
+        # sticky page-tier floor per (geometry, cap tier): each distinct
+        # page tier is a separately compiled step variant (multi-minute
+        # remote compiles); once a stream needs tier T, smaller frames
+        # reuse T instead of compiling a smaller variant (upload pads a
+        # little; the compile bill shrinks a lot)
+        self._ptier_floor = {}
         self.profile = False
         self._t_h2d = 0.0
         self._t_step = 0.0
@@ -405,10 +411,11 @@ class TpuReconFused:
         """Compact a packed frame by eliding all-zero 1KB pages (the flat
         buffer is capacity-padded; typical frames fill 10-20% of it).
         Picks the smallest page-tier step variant that fits the frame's
-        non-zero page count (each tier is its own compiled program; both
-        the upload bytes and the in-step expansion scatter scale with the
-        tier).  The page scatter runs inside the frame step (a separate
-        expander program would break async dispatch pipelining).  Returns
+        non-zero page count AND the stream's sticky floor (each tier is
+        its own compiled program; both the upload bytes and the in-step
+        expansion scatter scale with the tier).  The page scatter runs
+        inside the frame step (a separate expander program would pay the
+        same multi-minute fixed remote-compile cost).  Returns
         (comb, tier), or (None, 0) when dense / no ladder."""
         PAGE = self.pack.PAGE
         K = flat.size // PAGE
@@ -421,9 +428,11 @@ class TpuReconFused:
         except Exception:
             native_compact = None  # lib unavailable: numpy fallback below
             nzp = int(flat.reshape(K, PAGE).any(axis=1).sum())
+        nzp = max(nzp, self._ptier_floor.get(K, 0))
         tier = next((t for t in ladder if nzp <= t), None)
         if tier is None:
             return None, 0  # dense frame: caller ships the whole buffer
+        self._ptier_floor[K] = tier
         if native_compact is not None:
             return native_compact(flat, K, tier), tier
         pg = flat.reshape(K, PAGE)

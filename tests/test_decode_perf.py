@@ -74,21 +74,25 @@ def test_decode_perf_floor(name, floor):
 # the packed-work shape.  A wire-format or packer regression fails here
 # deterministically long before it would trip an fps floor.
 
-# (fixture, max mean KB/frame after page compaction).  Calibrated
-# 2026-08-20 on the round-5 wire format (see PERFORMANCE.md): measured
-# means were in01 17.4, in02 32.7, tl01 33.9, hd01 192 KB/frame; caps
-# allow ~35% headroom for content drift when fixtures regenerate.
+# (fixture, max keyframe KB, max mean inter KB/frame) after page
+# compaction.  Keyframes gate separately — they are 10-30x an inter
+# frame (full-tier caps + dense intra), so a single mean would hide
+# inter-path regressions.  Calibrated 2026-08-20 on the round-5 wire
+# format (printed by this test); caps allow ~35% headroom for content
+# drift when fixtures regenerate.
+# measured: in01 (286, 39.7), in02 (859, 58.7), tl01 (1449, 81.2),
+# hd01 (8150, 361)
 UPLOAD_CAPS = [
-    ("in01_176x144", 24.0),
-    ("in02_352x288", 45.0),
-    ("tl01_640x360_t2", 46.0),
-    ("hd01_1920x1080_t4", 260.0),
+    ("in01_176x144", 390.0, 54.0),
+    ("in02_352x288", 1160.0, 80.0),
+    ("tl01_640x360_t2", 1960.0, 110.0),
+    ("hd01_1920x1080_t4", 11000.0, 490.0),
 ]
 
 
-@pytest.mark.parametrize("name,cap_kb", UPLOAD_CAPS,
+@pytest.mark.parametrize("name,key_cap_kb,inter_cap_kb", UPLOAD_CAPS,
                          ids=[f[0] for f in UPLOAD_CAPS])
-def test_upload_bytes_per_frame(name, cap_kb):
+def test_upload_bytes_per_frame(name, key_cap_kb, inter_cap_kb):
     """Mean compacted upload bytes/frame must not regress (exact gate)."""
     import numpy as np
 
@@ -103,8 +107,9 @@ def test_upload_bytes_per_frame(name, cap_kb):
         packets = [d for d, _ in r][:12]
     parser = NativeParser()
     slots = [None] * 8
-    total_kb = 0.0
-    nframes = 0
+    key_kb = 0.0
+    inter_kb = 0.0
+    n_inter = 0
     for p in packets:
         plan = parser.parse(p)
         hdr = plan.hdr
@@ -122,16 +127,24 @@ def test_upload_bytes_per_frame(name, cap_kb):
         assert flat is not None, f"{name}: tight-tier overflow"
         K = flat.size // pack.PAGE
         nz = native_count_pages(flat, K)
-        total_kb += nz * pack.PAGE * 2 / 1024.0
-        nframes += 1
+        kb = nz * pack.PAGE * 2 / 1024.0
+        if hdr.frame_is_intra_only:
+            key_kb = max(key_kb, kb)
+        else:
+            inter_kb += kb
+            n_inter += 1
         planes = reconstruct_frame(plan, refs)
         rb = RefBuffer(planes, hdr.width, hdr.height, hdr.bit_depth,
                        hdr.subsampling_x, hdr.subsampling_y)
         for i in range(8):
             if hdr.refresh_frame_flags & (1 << i):
                 slots[i] = rb
-    mean_kb = total_kb / nframes
-    print(json.dumps({"stream": name, "mean_upload_kb": round(mean_kb, 1)}))
-    assert mean_kb <= cap_kb, (
-        f"{name}: {mean_kb:.1f} KB/frame exceeds the {cap_kb} KB gate — "
-        f"the wire format or packer regressed")
+    mean_inter = inter_kb / max(1, n_inter)
+    print(json.dumps({"stream": name, "key_kb": round(key_kb, 1),
+                      "mean_inter_kb": round(mean_inter, 1)}))
+    assert key_kb <= key_cap_kb, (
+        f"{name}: keyframe {key_kb:.1f} KB exceeds the {key_cap_kb} KB "
+        f"gate — the wire format or packer regressed")
+    assert mean_inter <= inter_cap_kb, (
+        f"{name}: {mean_inter:.1f} KB/inter-frame exceeds the "
+        f"{inter_cap_kb} KB gate — the wire format or packer regressed")

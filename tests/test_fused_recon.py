@@ -34,7 +34,7 @@ import jax
 _CPU = "cpu" in str(getattr(jax.config, "jax_platforms", None) or
                     os.environ.get("JAX_PLATFORMS", ""))
 SLOW = [s for s in fixture_streams() if s not in FAST
-        and not (s[0].startswith("hd") and _CPU)]
+        and not (s[0].startswith(("hd", "xl")) and _CPU)]
 
 
 def _check_fused(name, ivf, md5):

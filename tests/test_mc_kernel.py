@@ -42,16 +42,24 @@ def test_mc_chunk_matches_convolve_oracle(w, bd):
     pool = _random_pool(rng, pha, pwa, bd)
     cw = int(rng.integers(pwa - 7, pwa + 1))
     chh = int(rng.integers(pha - 7, pha + 1))
-    u = np.zeros((CH, 12), np.int32)
     # positions include fully out-of-crop tiles (normative edge clamp)
-    u[:, 4] = rng.integers(-12, cw + 12, CH)      # x0
-    u[:, 5] = rng.integers(-12, chh + 12, CH)     # y0
-    u[:, 6] = rng.integers(0, 16, CH)             # subpel x
-    u[:, 7] = rng.integers(0, 16, CH)             # subpel y
-    u[:, 8] = rng.integers(0, 4, CH)              # filter bank
-    u[:, 9] = cw
-    u[:, 10] = chh
-    hd = np.array([slot, plane, 0], np.int32)
+    x0 = rng.integers(-12, cw + 12, CH)
+    y0 = rng.integers(-12, chh + 12, CH)
+    spx = rng.integers(0, 16, CH)
+    spy = rng.integers(0, 16, CH)
+    filt = rng.integers(0, 4, CH)
+    # destination grid (w-aligned, in-canvas) — the wire encodes the
+    # source as a delta against it: 4-int16 records
+    # (dx | filt<<13, dy+1, sr, sc), runtime/pack.py build_layout
+    per_row = pwa // w
+    dx = (np.arange(CH) % per_row) * w
+    dy = ((np.arange(CH) // per_row) * h) % pha
+    u = np.zeros((CH, 4), np.int32)
+    u[:, 0] = dx | (filt << 13)
+    u[:, 1] = dy + 1
+    u[:, 2] = ((y0 - dy) << 4) | spy
+    u[:, 3] = ((x0 - dx) << 4) | spx
+    hd = np.array([slot, plane, 0, cw, chh, 0, 0, 0], np.int32)
 
     fn = jax.jit(lambda p, k, hd, u: fused._mc_chunk_compute(
         p, k, hd, u, w, h, br, bd))
@@ -60,12 +68,12 @@ def test_mc_chunk_matches_convolve_oracle(w, bd):
     ref_plane = pool[slot, plane]
     for n in range(CH):
         want = convolve_block(
-            ref_plane, cw, chh, int(u[n, 4]), int(u[n, 5]),
-            int(u[n, 6]), int(u[n, 7]), 16, 16, w, h,
-            KERNELS[u[n, 8]], bd, None)
+            ref_plane, cw, chh, int(x0[n]), int(y0[n]),
+            int(spx[n]), int(spy[n]), 16, 16, w, h,
+            KERNELS[filt[n]], bd, None)
         assert np.array_equal(got[n], want), \
-            f"tile {n}: x0={u[n,4]} y0={u[n,5]} sp=({u[n,6]},{u[n,7]})" \
-            f" filt={u[n,8]} crop=({cw},{chh})"
+            f"tile {n}: x0={x0[n]} y0={y0[n]} sp=({spx[n]},{spy[n]})" \
+            f" filt={filt[n]} crop=({cw},{chh})"
 
 
 @pytest.mark.parametrize("bd", [8, 10])

@@ -73,16 +73,62 @@ def synth_video(w: int, h: int, n: int, bitdepth: int = 8, seed: int = 7) -> byt
     return bytes(out)
 
 
+def synth_video2(w: int, h: int, n: int, seed: int = 19) -> bytes:
+    """Second-family synthetic content (screen/production-style), built
+    from different primitives than synth_video so the corpus isn't a
+    single-generator monoculture: hard-edged UI glyph blocks that
+    scroll (screen content: H/V intra, 4x4 splits), occluding moving
+    discs over a detailed background (revealed-area intra in inter
+    frames), a global luma fade (forces per-frame requantization and
+    non-zero DC everywhere), and sensor-style temporal noise in one
+    band (dense small coefficients, low skip rate)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    bg = rng.normal(0, 1, (h, w)).astype(np.float32)
+    # "text": random hard 2x6 glyph cells on a 8x8 grid in the top band
+    glyphs = (rng.random((h // 4, w)) > 0.82).astype(np.float32)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    cyy, cxx = np.mgrid[0:ch, 0:cw].astype(np.float32)
+    out = bytearray()
+    for t in range(n):
+        fade = 0.35 + 0.3 * (t / max(1, n - 1))          # global fade
+        y = fade + 0.08 * bg
+        # scrolling glyph band (integer scroll: screen-content motion)
+        off = (3 * t) % w
+        band = np.roll(glyphs, -off, axis=1)
+        y[: h // 4] = 0.15 + 0.75 * band
+        # two occluding discs on cycloid paths
+        for k, (rx, ry, rad) in enumerate(((0.31, 0.43, h / 7),
+                                           (0.17, 0.29, h / 10))):
+            cx = w * (0.5 + 0.35 * np.sin(rx * t + k))
+            cy = h * (0.55 + 0.3 * np.cos(ry * t - k))
+            m = (xx - cx) ** 2 + (yy - cy) ** 2 < rad ** 2
+            y[m] = 0.25 + 0.5 * k
+        # sensor noise strip (changes every frame: dense coefficients)
+        y[-h // 6:] += 0.1 * rng.normal(0, 1, (h // 6, w))
+        yq = np.clip(y * 255, 0, 255).astype(np.uint8)
+        u = 0.5 + 0.25 * np.sin(cxx * 0.02 + 2.0 * np.sin(0.13 * t))
+        v = 0.5 - 0.25 * np.cos(cyy * 0.025 - 0.09 * t)
+        uq = np.clip(u * 255, 0, 255).astype(np.uint8)
+        vq = np.clip(v * 255, 0, 255).astype(np.uint8)
+        for p in (yq, uq, vq):
+            out += p.tobytes()
+    return bytes(out)
+
+
 def run(args):
     subprocess.check_call(args)
 
 
 def gen(name: str, w: int, h: int, n: int, enc_opts: list[str],
-        bitdepth: int = 8, seed: int = 7):
+        bitdepth: int = 8, seed: int = 7, family: int = 1):
     os.makedirs(FIXDIR, exist_ok=True)
     yuv = os.path.join("/tmp", f"fix_{name}.yuv")
     with open(yuv, "wb") as f:
-        f.write(synth_video(w, h, n, bitdepth=bitdepth, seed=seed))
+        if family == 2:
+            f.write(synth_video2(w, h, n, seed=seed))
+        else:
+            f.write(synth_video(w, h, n, bitdepth=bitdepth, seed=seed))
     ivf = os.path.join(FIXDIR, f"{name}.ivf")
     md5 = os.path.join(FIXDIR, f"{name}.md5")
     md5b = os.path.join("/tmp", f"fix_{name}.libvpx.md5")
