@@ -67,10 +67,12 @@ _MODE_CANDIDATES = (C.DC_PRED, C.V_PRED, C.H_PRED, C.TM_PRED,
 
 
 class Vp9Encoder:
-    """Intra-only fixed-QP VP9 encoder.
+    """VP9 encoder (see the module docstring for the feature surface).
 
-    Profiles 0 (8-bit 4:2:0) and 2 (10/12-bit 4:2:0).  `block_size` is the
-    fixed coding block size (BLOCK_8X8 / 16X16 / 32X32 / 64X64).
+    gop<=1 (default): intra-only, every frame a keyframe.  gop>1: LAST-ref
+    inter frames with motion search and 1-/2-pass rate control.  Profiles
+    0 (8-bit 4:2:0) and 2 (10/12-bit 4:2:0).  `block_size` is the fixed
+    coding block size (BLOCK_8X8 / 16X16 / 32X32 / 64X64).
     """
 
     def __init__(self, width: int, height: int, base_qindex: int = 60,

@@ -97,6 +97,9 @@ class _PackIn(ct.Structure):
         ("c3s_cap", ct.c_int64),
         ("mc_chunk", ct.c_int64 * 3),   # per-geometry MC chunk lengths
         ("lfthr_off", ct.c_int64),      # [64, 4] level->threshold table
+        # 32x32 MC tile class (appended for ABI stability)
+        ("mc32_off", ct.c_int64), ("mc32h_off", ct.c_int64),
+        ("mc32_cap", ct.c_int64), ("mc32_chunk", ct.c_int64),
     ]
 
 
@@ -271,6 +274,10 @@ class NativeParser:
                 pi.mch_off[i] = layout.segs[name + "h"][0]
                 pi.mc_cap[i] = caps[name]
                 pi.mc_chunk[i] = layout.segs[name][1][1]
+            pi.mc32_off = layout.segs["mc32"][0]
+            pi.mc32h_off = layout.segs["mc32h"][0]
+            pi.mc32_cap = caps["mc32"]
+            pi.mc32_chunk = layout.segs["mc32"][1][1]
             if "mcs" in layout.segs:
                 pi.mcs_off = layout.segs["mcs"][0]
                 pi.mcsh_off = layout.segs["mcsh"][0]

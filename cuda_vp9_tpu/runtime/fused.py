@@ -76,19 +76,24 @@ def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
     cw, chh, ...): the whole chunk reads one [br, wa] row band of one
     reference plane (pack groups chunks that way).  Three-stage
     formulation, all integer-exact:
-      1. a tiny one-hot over 8-column segments gathers a 32-wide window
-         per tile from the band (one MXU matmul) — 32 >= w + 7 taps + 7
-         intra-segment offset for every tile class;
+      1. a tiny one-hot over 8-column segments gathers a WW-wide window
+         per tile from the band (one MXU matmul) — WW = 32 for tile
+         classes <= 16 and 48 for the 32x32 class (>= w + 7 taps + 7
+         intra-segment offset either way);
       2. a 0/1 row-selection matmul applies the normative vertical edge
-         clamp (23 rows of the window);
-      3. a per-tile [32, w] banded filter matrix applies the horizontal
+         clamp (h + 7 rows of the window);
+      3. a per-tile [WW, w] banded filter matrix applies the horizontal
          8 taps WITH the in-window edge clamp (one MXU matmul).
     The vertical 8-tap is static-slice multiply-adds in int32.  bf16
     products are exact for 8-bit pixels x taps (f32 accumulate); high
     bit depth uses f32 (exact to 2^24).  ~5x cheaper than a full-width
-    [wa, w] banded matrix: the filter operand is 32 wide, not wa."""
+    [wa, w] banded matrix: the filter operand is WW wide, not wa."""
     N = u.shape[0]
     wa = pool.shape[3]
+    # window segments: 4 (32-wide window) covers w + 7 taps + 7 offset
+    # for w <= 16; the 32-wide tile class needs 46 -> 6 segments (48)
+    nw = 6 if w == 32 else 4
+    WW = 8 * nw
     dx = u[:, 0] & 0x1FFF
     filt = u[:, 0] >> 13
     dy = u[:, 1] - 1
@@ -100,7 +105,7 @@ def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
     chh = jnp.full((N,), hd[4], I32)
     ih = h + 7
     maxv = (1 << bd) - 1
-    S = (wa + 32) // 8                       # segments incl. zero pad
+    S = wa // 8 + nw                         # segments incl. zero pad
 
     # band read as a WIDE-ROW GATHER over the flattened pool: a
     # dynamic_slice here is equivalent single-stream, but under vmap
@@ -112,22 +117,22 @@ def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
     pool_rows = pool.reshape(pool.shape[0] * pool.shape[1] * pha, wa)
     row0 = (hd[0] * 3 + hd[1]) * pha + hd[2]
     band = jnp.take(pool_rows, row0 + jnp.arange(br, dtype=I32), axis=0)
-    band_r = jnp.pad(band, ((0, 0), (0, 32))).reshape(br, S, 8)
+    band_r = jnp.pad(band, ((0, 0), (0, WW))).reshape(br, S, 8)
     fx = kernels[filt, spx & 15]             # [N, 8]
     fy = kernels[filt, spy & 15]
     xs = x0 + (spx >> 4) - 3
     lo = jnp.clip(xs, 0, cw - 1)
-    q = jnp.minimum(lo >> 3, S - 4)          # window start segment
+    q = jnp.minimum(lo >> 3, S - nw)         # window start segment
     mdt = jnp.bfloat16 if bd == 8 else jnp.float32
     prec = None if bd == 8 else jax.lax.Precision.HIGHEST
-    # window select: OH [N, 4, S] x band_r [br, S, 8] -> W [N, br, 32]
+    # window select: OH [N, nw, S] x band_r [br, S, 8] -> W [N, br, WW]
     segs = jnp.arange(S, dtype=I32)[None, None, :]
-    t4 = jnp.arange(4, dtype=I32)[None, :, None]
+    t4 = jnp.arange(nw, dtype=I32)[None, :, None]
     oh = (segs == (q[:, None, None] + t4)).astype(mdt)
     W4 = jax.lax.dot_general(
         oh, band_r.astype(mdt), (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
-    W = W4.transpose(0, 2, 1, 3).reshape(N, br, 32)
+    W = W4.transpose(0, 2, 1, 3).reshape(N, br, WW)
     # source-row selection (normative vertical edge clamp) as 0/1 matmul
     rr = jnp.clip(y0[:, None] - 3 + jnp.arange(ih, dtype=I32)[None, :],
                   0, chh[:, None] - 1) - hd[2]
@@ -136,11 +141,11 @@ def _mc_chunk_compute(pool, kernels, hd, u, w, h, br, bd):
     Wr = jax.lax.dot_general(
         oh_r, W.astype(mdt), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec)  # [N, ih, 32]
-    # banded horizontal filter matrix Mf [N, 32, w] with in-window clamp:
+    # banded horizontal filter matrix Mf [N, WW, w] with in-window clamp:
     #   Mf[n, j, c] = sum_k fx[n, k] * [clip(xs+c+k, 0, cw-1) - 8q == j]
     c_idx = jnp.arange(w, dtype=I32)[None, :]
-    jj = jnp.arange(32, dtype=I32)[None, :, None]
-    Mf = jnp.zeros((N, 32, w), jnp.float32)
+    jj = jnp.arange(WW, dtype=I32)[None, :, None]
+    Mf = jnp.zeros((N, WW, w), jnp.float32)
     for k in range(8):
         tgt = jnp.clip(xs[:, None] + c_idx + k, 0, cw[:, None] - 1) \
             - (q[:, None] << 3)
@@ -426,12 +431,22 @@ def _mcs_pass(F, pool, kernels, mc_units, mc_hdrs, n_chunks, n_ref0,
 
 
 def _intra_chunk(F, R, u, bs, bd):
-    """u: [CHUNK, 9] = plane,x0,y0+1,mode,n_above,n_left,tl_mode,hup,
-    hleft (y0 stored +1: zero entries are padding)."""
-    y0 = jnp.where(u[:, 2] == 0, jnp.int32(-32768), u[:, 2] - 1)
+    """u: [CHUNK, 4] bit-packed int16 words (sign-extended to int32 by
+    seg(); 50 bits of fields in 8 wire bytes):
+      w0 = x0/4 | plane<<14          (x0/y0 are 4-aligned; /4 fits 14
+      w1 = (y0/4 + 1) | have_up<<15   bits at the spec's 65536 max dim;
+      w2 = mode | n_above<<4 | n_left<<10   y0 stored +1: an all-zero
+      w3 = tl_mode | have_left<<2           record is padding)"""
+    w0 = u[:, 0] & 0xFFFF
+    w1 = u[:, 1] & 0xFFFF
+    w2 = u[:, 2] & 0xFFFF
+    w3 = u[:, 3]
+    y0q = w1 & 0x7FFF
+    y0 = jnp.where(y0q == 0, jnp.int32(-32768), (y0q - 1) << 2)
     return stages.intra_wave.__wrapped__(
-        F, R, u[:, 0], u[:, 1], y0, u[:, 3], u[:, 4], u[:, 5],
-        u[:, 6], u[:, 7], u[:, 8], bs=bs, bd=bd)
+        F, R, w0 >> 14, (w0 & 0x3FFF) << 2, y0, w2 & 15,
+        (w2 >> 4) & 63, (w2 >> 10) & 63, w3 & 3, w1 >> 15,
+        (w3 >> 2) & 1, bs=bs, bd=bd)
 
 
 def _intra_pass(F, R, chunks, chunk_bs, n_chunks, bd):
@@ -593,6 +608,10 @@ def make_frame_step(mi_rows: int, mi_cols: int, caps: Dict[str, int],
                      misc[1], misc[24], 8, 8, br, bd, trip=trip3(1))
         F = _mc_pass(F, pool, kernels, seg("mc16"), seg("mc16h"),
                      misc[2], misc[25], 16, 16, br, bd, trip=trip3(2))
+        # 32x32 tile class (big smooth areas at HD/4K: 4x fewer records
+        # and loop iterations than landing 64x64/32x32 blocks as mc16)
+        F = _mc_pass(F, pool, kernels, seg("mc32"), seg("mc32h"),
+                     misc[33], misc[34], 32, 32, br, bd, trip=trip3(33))
         if "mcs" in layout.segs:
             # scaled-reference tiles (runs LAST: compound averages with
             # a scaled first reference see their ref0 prediction)

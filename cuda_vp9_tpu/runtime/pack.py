@@ -33,11 +33,12 @@ CHUNK_INTRA = 64
 CHUNK_MC4 = 256
 CHUNK_MC8 = 128
 CHUNK_MC16 = 64
+CHUNK_MC32 = 32
 CHUNK_MCS = 128   # scaled-reference 4x4 tiles (16-wide records)
 
 
 def mc_chunks(mi_rows: int, mi_cols: int):
-    """Per-geometry MC chunk lengths (mc4, mc8, mc16).
+    """Per-geometry MC chunk lengths (mc4, mc8, mc16, mc32).
 
     The fused step's MC cost at HD/4K is dominated by the NUMBER of
     sequential fori_loop iterations (each pays a small-kernel floor), not
@@ -47,15 +48,18 @@ def mc_chunks(mi_rows: int, mi_cols: int):
     (better MXU occupancy).  Partial-chunk padding stays cheap: zero
     pages are elided from the upload."""
     if mi_rows * mi_cols * 64 >= 1.9e6:     # >= ~1080p pixel count
-        return CHUNK_MC4 * 4, CHUNK_MC8 * 4, CHUNK_MC16 * 4
-    return CHUNK_MC4, CHUNK_MC8, CHUNK_MC16
+        return CHUNK_MC4 * 4, CHUNK_MC8 * 4, CHUNK_MC16 * 4, CHUNK_MC32 * 4
+    return CHUNK_MC4, CHUNK_MC8, CHUNK_MC16, CHUNK_MC32
 
 
-def band_params(ha):
+def band_params(ha, ts=16):
     """Row-band geometry for the banded MC kernel: each MC chunk reads
-    one [BR, wa] band of one (slot, plane) canvas (see fused._mc_chunk)."""
+    one [BR, wa] band of one (slot, plane) canvas (see fused._mc_chunk).
+    The row margin after the grouping stride covers the tile class's
+    read span (h + 7 taps + 3 sub-rmin rows): 24 suffices for <= 16-tall
+    tiles; the 32-tall class groups with a 40-row margin."""
     br = min(160, ha)
-    return br, br - 24
+    return br, br - (40 if ts == 32 else 24)
 
 _INTRA_MODE_TO_TX_TYPE = np.array(
     [0, 1, 2, 0, 3, 1, 2, 2, 1, 3], np.int32)
@@ -169,7 +173,7 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         caps["tx3d"] = worst[3]
         caps["tx3c"] = max(16, worst[3] >> 2)
         caps["tx3cs"] = max(16, worst[3] >> 1)
-        caps["mc4"] = caps["mc8"] = caps["mc16"] = 1
+        caps["mc4"] = caps["mc8"] = caps["mc16"] = caps["mc32"] = 1
         max_waves = w4 + h4 + 2
         # HD+ keyframes: 4x larger intra chunks (the wavefront loop's
         # iteration count, not its FLOPs, bounds keyframe step time)
@@ -181,6 +185,7 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         m4_worst = (cells + 2 * ccells) * 2
         m8_worst = (cells // 4 + 2 * (ccells // 4)) * 2
         m16_worst = (cells // 16 + 2 * (ccells // 16)) * 2
+        m32_worst = (cells // 64 + 2 * (ccells // 64)) * 2
         # chunks are (slot, plane, row-band)-homogeneous: add group slack.
         # Slack is sized from the FRAME canvas; with an enlarged pool
         # (scaled refs) the band count can exceed it — a pack that then
@@ -188,8 +193,10 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
         ha = ((mi_rows + 7) & ~7) * 8
         br, stride = band_params(ha)
         groups = 2 * 3 * 3 * ((ha - 1) // stride + 1)  # avg x slot x plane
-        c4, c8, c16 = mc_chunks(mi_rows, mi_cols)
-        caps["mc_chunk"] = (c4, c8, c16)
+        _, stride32 = band_params(ha, 32)
+        groups32 = 2 * 3 * 3 * ((ha - 1) // stride32 + 1)
+        c4, c8, c16, c32 = mc_chunks(mi_rows, mi_cols)
+        caps["mc_chunk"] = (c4, c8, c16, c32)
         if tier == "wide":
             # escalation tier for frames that overflow "tight": 3x the
             # typical-case budget, bounded by the worst case.  Full
@@ -215,6 +222,7 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["mc4"] = max(1, cdiv(m4_worst * 3 // 4, c4) + groups)
             caps["mc8"] = max(1, cdiv(m8_worst * 3 // 4, c8) + groups)
             caps["mc16"] = max(1, cdiv(m16_worst, c16) + groups)
+            caps["mc32"] = max(1, cdiv(m32_worst, c32) + groups32)
             ich = CHUNK_INTRA * 4 if mi_rows * mi_cols * 64 >= 1.9e6 \
                 else CHUNK_INTRA
             caps["intra_chunk"] = ich
@@ -237,6 +245,7 @@ def compute_caps(mi_rows: int, mi_cols: int, tier: str,
             caps["mc4"] = max(1, cdiv(m4_worst * 3 // 8, c4) + groups)
             caps["mc8"] = max(1, cdiv(m8_worst // 2, c8) + groups)
             caps["mc16"] = max(1, cdiv(m16_worst, c16) + groups)
+            caps["mc32"] = max(1, cdiv(m32_worst, c32) + groups32)
             # inter frames carry few intra blocks scattered across
             # many (wave, size-class) chunk boundaries: a 16-unit chunk
             # cuts the partial-chunk upload waste ~4x (keyframes use
@@ -297,20 +306,27 @@ def build_layout(caps, mi_rows, mi_cols, lossless, bd: int = 8,
     # sr/sc = ((src - dst) << 4) | subpel_q4 and dx < 2^13; everything
     # chunk-constant (slot, plane, srow band, ref crop dims) lives in
     # the 8-wide chunk header instead — a tile is 8 wire bytes
-    c4, c8, c16 = caps.get("mc_chunk", (CHUNK_MC4, CHUNK_MC8, CHUNK_MC16))
+    c4, c8, c16, c32 = caps.get(
+        "mc_chunk", (CHUNK_MC4, CHUNK_MC8, CHUNK_MC16, CHUNK_MC32))
     L.add("mc4", (caps["mc4"], c4, 4))
     L.add("mc8", (caps["mc8"], c8, 4))
     L.add("mc16", (caps["mc16"], c16, 4))
+    L.add("mc32", (caps.get("mc32", 1), c32, 4))
     L.add("mc4h", (caps["mc4"], 8))
     L.add("mc8h", (caps["mc8"], 8))
     L.add("mc16h", (caps["mc16"], 8))
+    L.add("mc32h", (caps.get("mc32", 1), 8))
     if "mcs" in caps:
         # scaled-reference 4x4 tiles: [.., 12] classic fields plus
         # (xs, ys) step_q4 and 2 pad columns
         L.add("mcs", (caps["mcs"], CHUNK_MCS, 16))
         L.add("mcsh", (caps["mcs"], 4))
+    # intra units ship bit-packed: 4 int16 words per unit (50 bits of
+    # fields — see fused._intra_chunk for the word layout); at 18 wire
+    # bytes/unit the intra segment dominated keyframe uploads (3.5 MB of
+    # an 8 MB 4K keyframe), packed it is 8 bytes/unit
     L.add("intra", (caps["intra"], caps.get("intra_chunk", CHUNK_INTRA),
-                    9))
+                    4))
     L.add("chunk_bs", (caps["intra"],))
     # inter-residual mask, bit-packed 16 mi cells per int16 (the mask
     # is dense-ish, so at int16-per-cell it was a fixed ~7 KB/frame of
@@ -532,7 +548,7 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
     mi = plan.mi
     ss = (hdr.subsampling_x, hdr.subsampling_y)
     blocks = _blocks_arr(plan)
-    out = {4: [], 8: [], 16: [], "s": []}
+    out = {4: [], 8: [], 16: [], 32: [], "s": []}
     if not len(blocks):
         return out
     br, bc, bs, bwl, bhl = (blocks[:, i] for i in range(5))
@@ -612,7 +628,8 @@ def _mc_tiles_vectorized(plan, refs, slot_map):
                 # native C++ packer mirrors this emission order exactly)
                 for ww, hh in sorted(set(zip(w.tolist(), h.tolist()))):
                     m = (w == ww) & (h == hh)
-                    ts = 16 if (ww >= 16 and hh >= 16) else \
+                    ts = 32 if (ww >= 32 and hh >= 32) else \
+                        16 if (ww >= 16 and hh >= 16) else \
                         8 if (ww >= 8 and hh >= 8) else 4
                     sub = rows[m]
                     ny, nx = hh // ts, ww // ts
@@ -826,7 +843,7 @@ def _pack_mc(plan, refs, caps, layout, buf, pool_ha=None):
     slot_map = np.asarray(hdr.ref_frame_idx, np.int64)
     groups_np = _mc_tiles_vectorized(plan, refs, slot_map)
     tiles = {}
-    for ts in (4, 8, 16, "s"):
+    for ts in (4, 8, 16, 32, "s"):
         tiles[ts] = np.concatenate(groups_np[ts]) if groups_np[ts] \
             else np.zeros((0, 16 if ts == "s" else 12), np.int64)
     if tiles["s"].shape[0] and "mcs" not in layout.segs:
@@ -839,8 +856,10 @@ def _pack_mc(plan, refs, caps, layout, buf, pool_ha=None):
     br, stride = band_params(ha)
     nums = []
     nums_ref0 = []
-    c4, c8, c16 = caps.get("mc_chunk", (CHUNK_MC4, CHUNK_MC8, CHUNK_MC16))
-    classes = [(4, c4, "mc4"), (8, c8, "mc8"), (16, c16, "mc16")]
+    c4, c8, c16, c32 = caps.get(
+        "mc_chunk", (CHUNK_MC4, CHUNK_MC8, CHUNK_MC16, CHUNK_MC32))
+    classes = [(4, c4, "mc4"), (8, c8, "mc8"), (16, c16, "mc16"),
+               (32, c32, "mc32")]
     if "mcs" in layout.segs:
         classes.append(("s", CHUNK_MCS, "mcs"))
     for ts, chunk, name in classes:
@@ -856,8 +875,11 @@ def _pack_mc(plan, refs, caps, layout, buf, pool_ha=None):
             nums.append(0)
             nums_ref0.append(0)
             continue
+        # the 32-tall class reads 38 rows past rmin: group with the
+        # wider 40-row margin (band_params)
+        st = band_params(ha, 32)[1] if ts == 32 else stride
         rmin = np.clip(tl[:, 5] - 3, 0, tl[:, 10] - 1)
-        srow = np.clip((rmin // stride) * stride, 0, ha - br)
+        srow = np.clip((rmin // st) * st, 0, ha - br)
         order = np.lexsort((srow, tl[:, 0], tl[:, 3], tl[:, 11]))
         tl = tl[order]
         srow = srow[order]
@@ -950,8 +972,17 @@ def _pack_intra(plan, caps, layout, buf):
         else:
             tl_mode = 2
         bs_idx = {4: 0, 8: 1, 16: 2, 32: 3}[bs]
-        rows.append((u.wave, bs_idx, u.plane, u.x0, u.y0 + 1, u.mode,
-                     n_above, n_left, tl_mode, u.have_up, u.have_left))
+        # bit-pack to 4 int16 words (device unpack: fused._intra_chunk);
+        # x0/y0 are 4-aligned so /4 fits 14 bits at the spec's 65536 max
+        # dimension; y0/4 stored +1 so an all-zero record is padding
+        w0 = (u.x0 >> 2) | (u.plane << 14)
+        w1 = ((u.y0 >> 2) + 1) | (int(u.have_up) << 15)
+        w2 = u.mode | (n_above << 4) | (n_left << 10)
+        w3 = tl_mode | (int(u.have_left) << 2)
+        rows.append((u.wave, bs_idx,
+                     w0 - 0x10000 if w0 & 0x8000 else w0,
+                     w1 - 0x10000 if w1 & 0x8000 else w1,
+                     w2 - 0x10000 if w2 & 0x8000 else w2, w3))
     cap = caps["intra"]
     chunks = layout.view(buf, "intra")
     chunk_bs = layout.view(buf, "chunk_bs")
@@ -1076,8 +1107,11 @@ def pack_frame(plan, refs, caps, layout, pool_ha=None):
     # before it are unique-destination first-reference predictions)
     for i in range(3):
         misc[23 + i] = nmc0[i]
+    # misc[33]/[34]: 32x32 MC class chunk count / first avg chunk
+    misc[33] = nmc[3]
+    misc[34] = nmc0[3]
     # misc[14]/[15]: scaled-reference mcs chunk counts (tier "scaled")
-    if len(nmc) > 3:
-        misc[14] = nmc[3]
-        misc[15] = nmc0[3]
+    if len(nmc) > 4:
+        misc[14] = nmc[4]
+        misc[15] = nmc0[4]
     return buf

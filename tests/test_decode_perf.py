@@ -77,16 +77,17 @@ def test_decode_perf_floor(name, floor):
 # (fixture, max keyframe KB, max mean inter KB/frame) after page
 # compaction.  Keyframes gate separately — they are 10-30x an inter
 # frame (full-tier caps + dense intra), so a single mean would hide
-# inter-path regressions.  Calibrated 2026-08-20 on the round-5 wire
-# format (printed by this test); caps allow ~35% headroom for content
-# drift when fixtures regenerate.
-# measured: in01 (286, 39.7), in02 (859, 58.7), tl01 (1449, 81.2),
-# hd01 (8150, 361)
+# inter-path regressions.  Calibrated 2026-08-21 on the round-5 wire
+# format v3 (4-int16 intra records, mc32 tile class; printed by this
+# test); caps allow ~35% headroom for content drift when fixtures
+# regenerate.
+# measured: in01 (175, 40.9), in02 (526, 59.2), tl01 (950, 77.4),
+# hd01 (7490, 293)
 UPLOAD_CAPS = [
-    ("in01_176x144", 390.0, 54.0),
-    ("in02_352x288", 1160.0, 80.0),
-    ("tl01_640x360_t2", 1960.0, 110.0),
-    ("hd01_1920x1080_t4", 11000.0, 490.0),
+    ("in01_176x144", 240.0, 55.0),
+    ("in02_352x288", 710.0, 80.0),
+    ("tl01_640x360_t2", 1280.0, 105.0),
+    ("hd01_1920x1080_t4", 10100.0, 400.0),
 ]
 
 
